@@ -1,0 +1,127 @@
+"""Non-Euclidean ray propagation: bounded-step march through warped space.
+
+Reference semantics (SURVEY.md §3.4): rays inside a non-vacuum "space
+material" do not travel straight — propagation *within* the material is owned
+by that material.  Here a WarpSpace material bends rays toward/away from an
+attractor each step:
+
+    a(x) = strength * (c - x) / |c - x|^3
+    v'   = normalize(v + h * a(x));   x' = x + h * v'
+
+Boundary detection is uniform over all shapes: per step, each entity's side
+predicate (geometry.side — membership, or hyperplane side for sheets) is
+compared before/after the step; a flip marks a crossing.  The crossing is
+refined *after* the march loop by bisection on the stored step segment, so
+the hot loop stays lean.  Everything is fixed-trip-count, masked, and
+batched — the 'iterative bounded-depth march' mandated by BASELINE.json:5.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry as G
+from . import vec as V
+from .vec import Vec
+
+BISECT_ITERS = 10
+
+
+def warp_accel(center: Vec, strength, x: Vec) -> Vec:
+    d = V.sub(center, x)
+    r2 = V.norm2(d) + 1e-4
+    inv_r3 = r2 ** jnp.float32(-1.5)
+    return V.scale(d, strength * inv_r3)
+
+
+def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h):
+    """March a batch of rays; returns the first entity-boundary crossing.
+
+    wc / ws / h are the per-ray warp parameters (already selected from the
+    material tables by the caller).  Straight-material rays can pass through
+    with ws == 0 (they march straight); callers normally mask them out.
+
+    Returns (hit, p, dir_at_hit, ent_sel, normal, u, v) where ent_sel is an
+    i32 entity index (garbage when ~hit) and normal is unoriented.
+    """
+    ents = static.entities
+    E = len(ents)
+    zero = jnp.zeros_like(org.x)
+
+    sides0 = tuple(G.side(e.shape, tables, org) for e in ents)
+    crossed0 = tuple(jnp.zeros_like(org.x, dtype=bool) for _ in range(E))
+
+    carry = (org, d0, jnp.zeros_like(org.x, dtype=bool),  # x, v, done
+             org, org, d0,                                 # seg x0, x1, v
+             sides0, crossed0, zero)                       # sides, crossed, dist
+
+    def body(_, carry):
+        x, v, done, sx0, sx1, sv, sides, crossed, dist = carry
+        a = warp_accel(wc, ws, x)
+        v1 = V.normalize(V.madd(v, h, a))
+        x1 = V.madd(x, h, v1)
+        new_sides = tuple(G.side(e.shape, tables, x1) for e in ents)
+        cr = tuple(sides[i] ^ new_sides[i] for i in range(E))
+        any_cr = cr[0]
+        for c in cr[1:]:
+            any_cr = any_cr | c
+        newly = (~done) & any_cr
+        sx0 = V.where(newly, x, sx0)
+        sx1 = V.where(newly, x1, sx1)
+        sv = V.where(newly, v1, sv)
+        crossed = tuple(jnp.where(newly, cr[i], crossed[i]) for i in range(E))
+        done_next = done | newly | (dist > static.t_max)
+        x = V.where(done, x, x1)
+        v = V.where(done, v, v1)
+        sides = tuple(jnp.where(done, sides[i], new_sides[i]) for i in range(E))
+        dist = jnp.where(done, dist, dist + h)
+        return (x, v, done_next, sx0, sx1, sv, sides, crossed, dist)
+
+    carry = jax.lax.fori_loop(0, static.march_steps, body, carry)
+    _, _, _, sx0, sx1, sv, _, crossed, _ = carry
+
+    # refine each crossed entity by bisection on [sx0, sx1]; keep the nearest
+    hit = jnp.zeros_like(org.x, dtype=bool)
+    best_lam = jnp.full_like(org.x, 2.0)
+    best_p = org
+    best_n = Vec(zero, zero, zero, zero)
+    best_u = zero
+    best_v = zero
+    ent_sel = jnp.zeros_like(org.x, dtype=jnp.int32)
+
+    for ei, e in enumerate(ents):
+        node = e.shape
+        s0 = G.side(node, tables, sx0)
+        lo = jnp.zeros_like(org.x)
+        hi = jnp.ones_like(org.x)
+        for _ in range(BISECT_ITERS):
+            mid = 0.5 * (lo + hi)
+            pm = V.add(V.scale(sx0, 1.0 - mid), V.scale(sx1, mid))
+            same = G.side(node, tables, pm) == s0
+            lo = jnp.where(same, mid, lo)
+            hi = jnp.where(same, hi, mid)
+        lam = hi
+        p = V.add(V.scale(sx0, 1.0 - lam), V.scale(sx1, lam))
+        # leaf-level normal/uv: the leaf whose boundary is nearest at p
+        lvs = G.leaves(node)
+        n_e = G.leaf_normal(lvs[0], tables, p)
+        babs = G.boundary_abs(lvs[0], tables, p)
+        u_e, v_e = G.leaf_uv(lvs[0], tables, p, static.dim)
+        for leaf in lvs[1:]:
+            b = G.boundary_abs(leaf, tables, p)
+            take = b < babs
+            babs = jnp.where(take, b, babs)
+            n_e = V.where(take, G.leaf_normal(leaf, tables, p), n_e)
+            uu, vv = G.leaf_uv(leaf, tables, p, static.dim)
+            u_e = jnp.where(take, uu, u_e)
+            v_e = jnp.where(take, vv, v_e)
+        take = crossed[ei] & (lam < best_lam)
+        best_lam = jnp.where(take, lam, best_lam)
+        best_p = V.where(take, p, best_p)
+        best_n = V.where(take, n_e, best_n)
+        best_u = jnp.where(take, u_e, best_u)
+        best_v = jnp.where(take, v_e, best_v)
+        ent_sel = jnp.where(take, jnp.int32(ei), ent_sel)
+        hit = hit | crossed[ei]
+
+    return hit, best_p, sv, ent_sel, best_n, best_u, best_v

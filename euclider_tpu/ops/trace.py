@@ -1,0 +1,331 @@
+"""The tracing core: per-ray trace loop over composable scenes.
+
+Replicates the semantics of euclider's ``Universe::trace`` (upstream
+``src/universe/mod.rs``; SURVEY.md §3.3) in an iteration-friendly,
+fully-batched form:
+
+  * The reference's bounded *recursion* (reflection + translucent
+    transmission branches) becomes a masked **DFS stack loop**: each ray
+    carries a stack of at most ``max_depth + 1`` deferred branches
+    (origin, direction, weight, material, remaining depth).  Because the
+    recursion tree is binary and contributions combine *linearly*
+    (color = ratio·refl + (1-ratio)·(alpha·surface + (1-alpha)·through)),
+    every node's local term can be accumulated with a scalar path weight —
+    the loop pops a branch, shades it, and pushes up to two children.
+  * The reference's (material TypeId, shape TypeId) intersector dispatch and
+    (from, to) transition dispatch become *compile-time specialisation*:
+    Python-unrolled loops over the static scene topology (SURVEY §3.3
+    replication notes / BASELINE.json:5 integer-coded dispatch, taken one
+    step further: the codes are burned into the XLA program).
+  * Straight-space propagation uses analytic intersections; warped-space
+    propagation uses ops.march.  Both feed one segment-hit record.
+
+Exact semantics are pinned in docs/SEMANTICS.md; the NumPy and C++ oracles
+(euclider_tpu.oracle) implement the same contract scalar-recursively.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry as G
+from . import march as M
+from . import shading
+from . import vec as V
+from .vec import Vec
+
+PUSH = 1e-3    # offset to escape a surface when spawning a secondary ray
+W_EPS = 1e-4   # path-weight cutoff: branches below this contribute nothing
+
+
+# ---------------------------------------------------------------------------
+# material queries (compile-time specialised; SURVEY §3.3 'material_at')
+# ---------------------------------------------------------------------------
+
+def material_at(static, tables, p: Vec):
+    """Material id at a point: first entity (scene order) containing it wins,
+    else the ambient material."""
+    mat = jnp.full(jnp.shape(p.x), static.ambient, jnp.int32)
+    for ei in reversed(range(len(static.entities))):
+        e = static.entities[ei]
+        inside = G.member(e.shape, tables, p)
+        mat = jnp.where(inside, jnp.int32(e.material), mat)
+    return mat
+
+
+def mat_lookup(tables_column, mat_ids):
+    """column[mat_ids] with a static where-chain (no gather)."""
+    out = jnp.broadcast_to(tables_column[0], jnp.shape(mat_ids))
+    for m in range(1, tables_column.shape[0]):
+        out = jnp.where(mat_ids == m, tables_column[m], out)
+    return out
+
+
+def warp_mask(static, mat_ids):
+    mask = jnp.zeros(jnp.shape(mat_ids), bool)
+    for m, kind in enumerate(static.mat_kinds):
+        if kind == "warp":
+            mask = mask | (mat_ids == m)
+    return mask
+
+
+def warp_params(static, tables, mat_ids):
+    shape = jnp.shape(mat_ids)
+    zf = jnp.zeros(shape, jnp.float32)
+    wc = Vec(zf, zf, zf, zf)
+    ws = zf
+    h = jnp.full(shape, 0.05, jnp.float32)
+    for m, kind in enumerate(static.mat_kinds):
+        if kind == "warp":
+            sel = mat_ids == m
+            row = tables.mat_warp_center[m]
+            wc = V.where(sel, Vec(row[0], row[1], row[2], row[3]), wc)
+            ws = jnp.where(sel, tables.mat_warp_strength[m], ws)
+            h = jnp.where(sel, tables.mat_warp_step[m], h)
+    return wc, ws, h
+
+
+# ---------------------------------------------------------------------------
+# segment propagation: nearest hit in the current space
+# ---------------------------------------------------------------------------
+
+def nearest_hit_straight(static, tables, org: Vec, d: Vec):
+    zf = jnp.zeros_like(org.x)
+    best_t = jnp.full_like(org.x, static.t_max)
+    hit = jnp.zeros_like(org.x, bool)
+    ent = jnp.zeros_like(org.x, jnp.int32)
+    n = Vec(zf, zf, zf, zf)
+    u = zf
+    v = zf
+    for ei, e in enumerate(static.entities):
+        t_e, hit_e, n_e, u_e, v_e = G.entity_hit_straight(
+            e.shape, tables, org, d, static.dim, static.t_max)
+        take = hit_e & (t_e < best_t)
+        best_t = jnp.where(take, t_e, best_t)
+        hit = hit | take
+        ent = jnp.where(take, jnp.int32(ei), ent)
+        n = V.where(take, n_e, n)
+        u = jnp.where(take, u_e, u)
+        v = jnp.where(take, v_e, v)
+    return best_t, hit, ent, n, u, v
+
+
+def propagate(static, tables, org: Vec, d: Vec, mat_ids):
+    """One segment: from org along d inside material mat_ids until the first
+    entity boundary.  Returns (hit, p, dir_at_hit, ent, normal, u, v)."""
+    t, hit, ent, n, u, v = nearest_hit_straight(static, tables, org, d)
+    p = V.madd(org, t, d)
+    dout = d
+    if static.has_warp:
+        wm = warp_mask(static, mat_ids)
+        wc, ws, h = warp_params(static, tables, mat_ids)
+        mh_hit, mh_p, mh_d, mh_ent, mh_n, mh_u, mh_v = M.march_hit(
+            static, tables, org, d, wc, ws, h)
+        hit = jnp.where(wm, mh_hit, hit)
+        p = V.where(wm, mh_p, p)
+        dout = V.where(wm, mh_d, dout)
+        ent = jnp.where(wm, mh_ent, ent)
+        n = V.where(wm, mh_n, n)
+        u = jnp.where(wm, mh_u, u)
+        v = jnp.where(wm, mh_v, v)
+    return hit, p, dout, ent, n, u, v
+
+
+# ---------------------------------------------------------------------------
+# DFS stack machinery (per-ray, masked; capacity = max_depth + 1)
+# ---------------------------------------------------------------------------
+
+def _slot_where(m, a, b):
+    return (V.where(m, a[0], b[0]), V.where(m, a[1], b[1]),
+            jnp.where(m, a[2], b[2]), jnp.where(m, a[3], b[3]),
+            jnp.where(m, a[4], b[4]))
+
+
+def read_slot(slots, idx):
+    out = slots[0]
+    for k in range(1, len(slots)):
+        out = _slot_where(idx == k, slots[k], out)
+    return out
+
+
+def write_slot(slots, idx, mask, val):
+    return tuple(_slot_where(mask & (idx == k), val, slots[k])
+                 for k in range(len(slots)))
+
+
+# ---------------------------------------------------------------------------
+# the trace loop
+# ---------------------------------------------------------------------------
+
+def trace_batch(static, tables, org0: Vec, d0: Vec,
+                differentiable: bool = False):
+    """Trace a batch of primary rays; returns (r, g, b) arrays shaped like
+    org0.x.
+
+    With ``differentiable=True`` the bounce loop runs a static
+    ``max_nodes``-trip fori_loop (reverse-mode differentiable; masked
+    iterations are no-ops) instead of an early-exiting while_loop — same
+    semantics, needed because lax.while_loop has no reverse-mode rule.
+    """
+    ents = static.entities
+    D = static.max_depth
+    S = D + 1
+    bshape = jnp.shape(org0.x)
+    zf = jnp.zeros(bshape, jnp.float32)
+    zi = jnp.zeros(bshape, jnp.int32)
+    zvec = Vec(zf, zf, zf, zf)
+
+    empty = (zvec, zvec, zf, zi, zi)
+    primary = (org0, d0, jnp.ones(bshape, jnp.float32),
+               jnp.full(bshape, static.ambient, jnp.int32),
+               jnp.full(bshape, D, jnp.int32))
+    slots = tuple([primary] + [empty] * (S - 1))
+    sp = jnp.ones(bshape, jnp.int32)
+    it0 = jnp.int32(0)
+
+    used_surfs = sorted({e.surface for e in ents})
+
+    def cond(carry):
+        sp, it, _, _, _, _, _ = carry
+        return (it < static.max_nodes) & jnp.any(sp > 0)
+
+    def body(carry):
+        sp, it, ar, ag, ab, slots, _ = carry
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        org, d, wgt, mat, depth = read_slot(slots, top)
+        sp = jnp.where(active, sp - 1, sp)
+
+        hit, p, dout, ent, n, u, v = propagate(static, tables, org, d, mat)
+        hit = hit & active
+        miss = active & ~hit
+
+        bg = tables.background
+        ar = ar + jnp.where(miss, wgt * bg[0], 0.0)
+        ag = ag + jnp.where(miss, wgt * bg[1], 0.0)
+        ab = ab + jnp.where(miss, wgt * bg[2], 0.0)
+
+        # orient the geometric normal against the incoming direction
+        flip = V.dot(n, dout) > 0.0
+        n = V.where(flip, V.scale(n, -1.0), n)
+
+        # surface color / reflectivity of the winning entity
+        cols = {s: shading.eval_surface(static, tables, s, u, v)
+                for s in used_surfs}
+        cr, cg, cb, ca, refl = zf, zf, zf, jnp.ones(bshape, jnp.float32), zf
+        for ei, e in enumerate(ents):
+            sel = ent == ei
+            c = cols[e.surface]
+            cr = jnp.where(sel, c[0], cr)
+            cg = jnp.where(sel, c[1], cg)
+            cb = jnp.where(sel, c[2], cb)
+            ca = jnp.where(sel, c[3], ca)
+            refl = jnp.where(sel, tables.surf_refl[e.surface], refl)
+
+        # local emitted term: weight * (1-ratio) * alpha * surface_color
+        lw = wgt * (1.0 - refl) * ca
+        ar = ar + jnp.where(hit, lw * cr, 0.0)
+        ag = ag + jnp.where(hit, lw * cg, 0.0)
+        ab = ab + jnp.where(hit, lw * cb, 0.0)
+
+        # --- transmission branch (translucent surfaces; SURVEY §3.3/3.4) ---
+        p_past = V.madd(p, PUSH, dout)
+        m_to = material_at(static, tables, p_past)
+        eta = mat_lookup(tables.mat_ior, mat) / mat_lookup(tables.mat_ior, m_to)
+        tdir, tok = V.refract(dout, n, eta)
+        t_org = V.madd(p, PUSH, tdir)
+        t_mat = m_to
+        if static.has_portal:
+            for ei, e in enumerate(ents):
+                if e.portal is None:
+                    continue
+                selp = ent == ei
+                lin = tables.portal_lin[e.portal]
+                tr = tables.portal_tr[e.portal]
+                pp = V.add(V.matvec(lin, p), Vec(tr[0], tr[1], tr[2], tr[3]))
+                pd = V.normalize(V.matvec(lin, dout))
+                t_org = V.where(selp, V.madd(pp, PUSH, pd), t_org)
+                tdir = V.where(selp, pd, tdir)
+                tok = tok | selp
+            t_mat = material_at(static, tables, t_org)
+
+        w_t = wgt * (1.0 - refl) * (1.0 - ca)
+        push_t = hit & tok & (w_t > W_EPS) & (depth >= 2)
+        slots = write_slot(slots, sp, push_t,
+                           (t_org, tdir, w_t, t_mat, depth - 1))
+        sp = sp + push_t.astype(jnp.int32)
+
+        # --- reflection branch -------------------------------------------
+        rdir = V.reflect(dout, n)
+        r_org = V.madd(p, PUSH, rdir)
+        w_r = wgt * refl
+        push_r = hit & (w_r > W_EPS) & (depth >= 2)
+        slots = write_slot(slots, sp, push_r,
+                           (r_org, rdir, w_r, mat, depth - 1))
+        sp = sp + push_r.astype(jnp.int32)
+
+        return (sp, it + 1, ar, ag, ab, slots, active)
+
+    carry = (sp, it0, zf, zf, zf, slots, jnp.zeros(bshape, bool))
+    if differentiable:
+        carry = jax.lax.fori_loop(0, static.max_nodes,
+                                  lambda _, c: body(c), carry)
+    else:
+        carry = jax.lax.while_loop(cond, body, carry)
+    _, _, ar, ag, ab, _, _ = carry
+    return ar, ag, ab
+
+
+# ---------------------------------------------------------------------------
+# camera rays + whole-image renderer (the lax backend)
+# ---------------------------------------------------------------------------
+
+def camera_rays(cam, xi, yi, W: int, H: int):
+    """Pinhole rays, dimension-generic (basis vectors live in R^4).
+
+    Reference: d3/d4 camera get_ray_point / get_ray_direction
+    (SURVEY.md §2.1 Cameras).  The frame is re-orthonormalised here
+    (Gram-Schmidt) so camera parameters stay freely differentiable.
+    """
+    f = V.normalize(V.from_array(cam.forward))
+    r0 = V.from_array(cam.right)
+    r = V.normalize(V.madd(r0, -V.dot(r0, f), f))
+    u0 = V.from_array(cam.up)
+    u1 = V.madd(u0, -V.dot(u0, f), f)
+    u = V.normalize(V.madd(u1, -V.dot(u1, r), r))
+
+    aspect = W / H
+    t = cam.tan_half_fov
+    ndx = ((xi + 0.5) / W * 2.0 - 1.0) * (aspect * t)
+    ndy = (1.0 - (yi + 0.5) / H * 2.0) * t
+    d = V.normalize(Vec(f.x + ndx * r.x + ndy * u.x,
+                        f.y + ndx * r.y + ndy * u.y,
+                        f.z + ndx * r.z + ndy * u.z,
+                        f.w + ndx * r.w + ndy * u.w))
+    org = V.splat(V.from_array(cam.position), jnp.shape(xi))
+    return org, d
+
+
+def render_image(static, tables, cam, H: int, W: int,
+                 differentiable: bool = False):
+    """Render a full frame with the pure-lax backend -> [H, W, 3] float32.
+
+    Pass ``differentiable=True`` when taking gradients through the render.
+    """
+    yi = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xi = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    org, d = camera_rays(cam, xi, yi, W, H)
+    r, g, b = trace_batch(static, tables, org, d, differentiable)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+render_image_jit = jax.jit(render_image, static_argnums=(0, 3, 4, 5))
+
+
+def render_rays(static, tables, cam, xi, yi, W: int, H: int,
+                differentiable: bool = False):
+    """Trace an arbitrary batch of pixel coordinates (sub-tile / sparse)."""
+    org, d = camera_rays(cam, xi, yi, W, H)
+    return trace_batch(static, tables, org, d, differentiable)

@@ -1,0 +1,254 @@
+"""Scene IR -> (SceneStatic, SceneTables).
+
+The reference resolves (space TypeId, shape TypeId) pairs through HashMaps at
+trace time (SURVEY.md §1.4, §3.3).  On TPU that double-dynamic dispatch is
+hoisted to *compile* time: the scene's topology is baked into the traced
+program (Python-unrolled loops over entities / CSG trees), so XLA sees
+straight-line masked vector code specialised to the scene — the idiomatic
+equivalent of shader specialisation.  Only float parameters stay as runtime
+arrays, which is exactly the differentiable parameter set.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from . import ir
+
+# --- static shape tree ------------------------------------------------------
+# A ShapeNode is a nested tuple:
+#   ('sphere', row) | ('hyperplane', row) | ('halfspace', row)
+#   | (csg_op, (child ShapeNode, ...))
+ShapeNode = Tuple
+
+
+@dataclass(frozen=True)
+class EntityStatic:
+    shape: ShapeNode
+    material: int          # index into material tables
+    surface: int           # index into surface tables
+    portal: Optional[int]  # index into portal tables, or None
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class SceneStatic:
+    """Hashable scene topology — safe to use as a jit static argument."""
+
+    dim: int
+    entities: Tuple[EntityStatic, ...]
+    mat_kinds: Tuple[str, ...]      # 'vacuum' | 'dielectric' | 'warp'
+    surf_kinds: Tuple[str, ...]     # 'uniform' | 'checker' | 'texture'
+    surf_texture: Tuple[int, ...]   # texture id per surface (-1 if none)
+    ambient: int                    # material index of the surrounding space
+    max_depth: int
+    t_max: float
+    march_steps: int
+    max_nodes: int
+    name: str = ""
+
+    @property
+    def has_warp(self) -> bool:
+        return any(k == "warp" for k in self.mat_kinds)
+
+    @property
+    def has_portal(self) -> bool:
+        return any(e.portal is not None for e in self.entities)
+
+
+class SceneTables(NamedTuple):
+    """Differentiable scene parameters (pytree of f32 arrays).
+
+    This is the TPU-native replacement for the reference's boxed entity graph
+    — the flat SoA table mandated by the north star (BASELINE.json:5).
+    """
+
+    shape_vec: np.ndarray     # [S, 4] sphere center | plane/halfspace normal
+    shape_sc: np.ndarray      # [S]    sphere radius | plane/halfspace offset
+    mat_ior: np.ndarray       # [M]
+    mat_warp_center: np.ndarray    # [M, 4]
+    mat_warp_strength: np.ndarray  # [M]
+    mat_warp_step: np.ndarray      # [M]
+    surf_color: np.ndarray    # [U, 4] rgba
+    surf_color2: np.ndarray   # [U, 4] rgba (checker second color)
+    surf_refl: np.ndarray     # [U]
+    surf_uv_scale: np.ndarray # [U]
+    portal_lin: np.ndarray    # [P, 4, 4]
+    portal_tr: np.ndarray     # [P, 4]
+    background: np.ndarray    # [3]
+    textures: Tuple[np.ndarray, ...]  # each [th, tw, 3]
+
+
+class CameraParams(NamedTuple):
+    """Differentiable camera parameters."""
+
+    position: np.ndarray      # [4]
+    forward: np.ndarray       # [4]
+    up: np.ndarray            # [4]
+    right: np.ndarray         # [4]
+    tan_half_fov: np.ndarray  # scalar
+
+
+def compile_camera(cam: ir.Camera) -> CameraParams:
+    t = np.tan(np.deg2rad(cam.fov_deg) * 0.5)
+    return CameraParams(
+        position=np.asarray(cam.position, np.float32),
+        forward=np.asarray(cam.forward, np.float32),
+        up=np.asarray(cam.up, np.float32),
+        right=np.asarray(cam.right, np.float32),
+        tan_half_fov=np.float32(t),
+    )
+
+
+def _mat_kind(m: ir.Material) -> str:
+    if isinstance(m, ir.Vacuum):
+        return "vacuum"
+    if isinstance(m, ir.Dielectric):
+        return "dielectric"
+    if isinstance(m, ir.WarpSpace):
+        return "warp"
+    raise TypeError(f"unknown material {m!r}")
+
+
+def _surf_kind(s: ir.Surface) -> str:
+    if isinstance(s, ir.UniformSurface):
+        return "uniform"
+    if isinstance(s, ir.CheckerSurface):
+        return "checker"
+    if isinstance(s, ir.TextureSurface):
+        return "texture"
+    raise TypeError(f"unknown surface {s!r}")
+
+
+def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
+    shape_vec, shape_sc = [], []
+
+    def flatten_shape(s: ir.Shape) -> ShapeNode:
+        if isinstance(s, ir.Sphere):
+            row = len(shape_sc)
+            shape_vec.append(s.center)
+            shape_sc.append(s.radius)
+            return ("sphere", row)
+        if isinstance(s, ir.Hyperplane):
+            row = len(shape_sc)
+            n = np.asarray(s.normal, np.float64)
+            nn = n / np.linalg.norm(n)
+            shape_vec.append(tuple(nn))
+            shape_sc.append(s.offset / np.linalg.norm(n))
+            return ("hyperplane", row)
+        if isinstance(s, ir.HalfSpace):
+            row = len(shape_sc)
+            n = np.asarray(s.normal, np.float64)
+            nn = n / np.linalg.norm(n)
+            shape_vec.append(tuple(nn))
+            shape_sc.append(s.offset / np.linalg.norm(n))
+            return ("halfspace", row)
+        if isinstance(s, ir.Csg):
+            return (s.op, tuple(flatten_shape(c) for c in s.children))
+        raise TypeError(f"unknown shape {s!r}")
+
+    # dedupe materials / surfaces / portals by IR equality
+    materials: list[ir.Material] = []
+    surfaces: list[ir.Surface] = []
+    portals: list[ir.Portal] = []
+
+    def mat_index(m: ir.Material) -> int:
+        if m in materials:
+            return materials.index(m)
+        materials.append(m)
+        return len(materials) - 1
+
+    def surf_index(s: ir.Surface) -> int:
+        if s in surfaces:
+            return surfaces.index(s)
+        surfaces.append(s)
+        return len(surfaces) - 1
+
+    ambient_idx = mat_index(scene.ambient)
+
+    ents = []
+    for e in scene.entities:
+        node = flatten_shape(e.shape)
+        p_idx = None
+        if e.portal is not None:
+            portals.append(e.portal)
+            p_idx = len(portals) - 1
+        ents.append(EntityStatic(node, mat_index(e.material),
+                                 surf_index(e.surface), p_idx, e.name))
+
+    st = scene.settings
+    max_nodes = st.max_nodes or min(2 ** (st.max_depth + 1) - 1, 63)
+
+    static = SceneStatic(
+        dim=scene.dim,
+        entities=tuple(ents),
+        mat_kinds=tuple(_mat_kind(m) for m in materials),
+        surf_kinds=tuple(_surf_kind(s) for s in surfaces),
+        surf_texture=tuple(
+            s.texture_id if isinstance(s, ir.TextureSurface) else -1
+            for s in surfaces),
+        ambient=ambient_idx,
+        max_depth=st.max_depth,
+        t_max=float(st.t_max),
+        march_steps=st.march_steps,
+        max_nodes=max_nodes,
+        name=scene.name,
+    )
+
+    M, U, P = len(materials), len(surfaces), len(portals)
+    mat_ior = np.ones(M, np.float32)
+    mat_wc = np.zeros((M, 4), np.float32)
+    mat_ws = np.zeros(M, np.float32)
+    mat_wh = np.full(M, 0.05, np.float32)
+    for i, m in enumerate(materials):
+        if isinstance(m, ir.Dielectric):
+            mat_ior[i] = m.ior
+        elif isinstance(m, ir.WarpSpace):
+            mat_ior[i] = m.ior
+            mat_wc[i] = m.center
+            mat_ws[i] = m.strength
+            mat_wh[i] = m.step
+
+    s_col = np.zeros((U, 4), np.float32)
+    s_col2 = np.zeros((U, 4), np.float32)
+    s_refl = np.zeros(U, np.float32)
+    s_uvs = np.ones(U, np.float32)
+    for i, s in enumerate(surfaces):
+        if isinstance(s, ir.UniformSurface):
+            s_col[i] = s.color
+            s_refl[i] = s.reflectivity
+        elif isinstance(s, ir.CheckerSurface):
+            s_col[i] = s.color
+            s_col2[i] = s.color2
+            s_refl[i] = s.reflectivity
+            s_uvs[i] = s.uv_scale
+        elif isinstance(s, ir.TextureSurface):
+            s_col[i] = (1.0, 1.0, 1.0, s.alpha)
+            s_refl[i] = s.reflectivity
+            s_uvs[i] = s.uv_scale
+
+    p_lin = np.zeros((max(P, 1), 4, 4), np.float32)
+    p_tr = np.zeros((max(P, 1), 4), np.float32)
+    for i, p in enumerate(portals):
+        p_lin[i] = np.asarray(p.linear, np.float32)
+        p_tr[i] = np.asarray(p.translation, np.float32)
+
+    tables = SceneTables(
+        shape_vec=np.asarray(shape_vec, np.float32).reshape(-1, 4),
+        shape_sc=np.asarray(shape_sc, np.float32).reshape(-1),
+        mat_ior=mat_ior,
+        mat_warp_center=mat_wc,
+        mat_warp_strength=mat_ws,
+        mat_warp_step=mat_wh,
+        surf_color=s_col,
+        surf_color2=s_col2,
+        surf_refl=s_refl,
+        surf_uv_scale=s_uvs,
+        portal_lin=p_lin,
+        portal_tr=p_tr,
+        background=np.asarray(st.background, np.float32),
+        textures=tuple(np.asarray(t, np.float32) for t in scene.textures),
+    )
+    return static, tables

@@ -1,0 +1,271 @@
+"""Scene intermediate representation (IR).
+
+This is the user-facing scene vocabulary — the TPU-native analogue of
+euclider's trait layer (upstream ``src/universe/entity/`` — ``Entity``,
+``Shape``, ``Material``, ``Surface``; SURVEY.md §2.1).  Instead of boxed
+trait objects dispatched by TypeId, a scene here is a plain dataclass tree
+that *compiles* (scene/compile.py) into
+
+  * ``SceneStatic``  — hashable topology (shape kinds, CSG trees, entity
+    wiring, material/surface kinds).  This becomes Python-unrolled XLA code:
+    the (space, shape) double dispatch of the reference becomes shader-style
+    program specialisation, with zero runtime dispatch and zero gathers.
+  * ``SceneTables``  — a pytree of float arrays (centers, radii, colors,
+    IORs, portal transforms…).  Everything differentiable lives here.
+
+Dimension-generic: all points/normals are padded to 4 components; ``dim``
+on the Scene selects 3D or 4D semantics (SURVEY.md §3.5).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple, Union
+
+# ---------------------------------------------------------------------------
+# Shapes  (reference: src/universe/d3/entity/*.rs, d4/…; SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+
+def _pad4(p: Sequence[float]) -> Tuple[float, float, float, float]:
+    p = tuple(float(v) for v in p)
+    if len(p) == 3:
+        return p + (0.0,)
+    if len(p) == 4:
+        return p
+    raise ValueError(f"expected 3 or 4 components, got {len(p)}")
+
+
+@dataclass(frozen=True)
+class Sphere:
+    """n-sphere: |x - center| = radius.  (Sphere / Sphere4 in the reference.)"""
+
+    center: Sequence[float]
+    radius: float
+
+    def __post_init__(self):
+        object.__setattr__(self, "center", _pad4(self.center))
+        object.__setattr__(self, "radius", float(self.radius))
+
+
+@dataclass(frozen=True)
+class Hyperplane:
+    """Measure-zero sheet: normal·x = offset.  Never 'contains' points."""
+
+    normal: Sequence[float]
+    offset: float
+
+    def __post_init__(self):
+        object.__setattr__(self, "normal", _pad4(self.normal))
+        object.__setattr__(self, "offset", float(self.offset))
+
+
+@dataclass(frozen=True)
+class HalfSpace:
+    """Solid region normal·x < offset; boundary is the hyperplane."""
+
+    normal: Sequence[float]
+    offset: float
+
+    def __post_init__(self):
+        object.__setattr__(self, "normal", _pad4(self.normal))
+        object.__setattr__(self, "offset", float(self.offset))
+
+
+CSG_OPS = ("union", "intersection", "difference", "symdiff", "complement")
+
+
+@dataclass(frozen=True)
+class Csg:
+    """Composable shape (reference ComposableShape + SetOperation).
+
+    ``union`` / ``intersection`` / ``symdiff`` fold over >=2 children;
+    ``difference`` is binary (a minus b); ``complement`` is unary.
+    Children may be any Shape, nested arbitrarily.
+    """
+
+    op: str
+    children: Tuple["Shape", ...]
+
+    def __post_init__(self):
+        if self.op not in CSG_OPS:
+            raise ValueError(f"unknown CSG op {self.op!r}")
+        object.__setattr__(self, "children", tuple(self.children))
+        n = len(self.children)
+        if self.op == "complement" and n != 1:
+            raise ValueError("complement takes exactly one child")
+        if self.op == "difference" and n != 2:
+            raise ValueError("difference takes exactly two children")
+        if self.op in ("union", "intersection", "symdiff") and n < 2:
+            raise ValueError(f"{self.op} takes at least two children")
+
+
+Shape = Union[Sphere, Hyperplane, HalfSpace, Csg]
+
+# ---------------------------------------------------------------------------
+# Materials — "space as material" (reference entity/material.rs; SURVEY §3.4)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Vacuum:
+    """Straight propagation, IOR 1."""
+
+
+@dataclass(frozen=True)
+class Dielectric:
+    """Straight propagation with refraction at boundaries (Snell)."""
+
+    ior: float = 1.5
+
+
+@dataclass(frozen=True)
+class WarpSpace:
+    """Non-Euclidean space: rays bend toward/away from ``center``.
+
+    Propagation integrates  v' = normalize(v + h * s * (c-x)/|c-x|^3),
+    x' = x + h * v'  for a bounded number of steps (the 'iterative march'
+    of BASELINE config 5).  ``strength`` > 0 attracts, < 0 repels.
+    """
+
+    center: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
+    strength: float = 1.0
+    step: float = 0.05
+    ior: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "center", _pad4(self.center))
+
+
+Material = Union[Vacuum, Dielectric, WarpSpace]
+
+# ---------------------------------------------------------------------------
+# Surfaces  (reference entity/surface.rs: get_reflection_ratio /
+# get_reflection_direction / get_surface_color; SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UniformSurface:
+    color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    reflectivity: float = 0.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "color", tuple(float(c) for c in self.color))
+
+
+@dataclass(frozen=True)
+class CheckerSurface:
+    """UV checkerboard (reference MappedTexture checkerboard)."""
+
+    color: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 1.0)
+    color2: Tuple[float, float, float, float] = (0.9, 0.9, 0.9, 1.0)
+    uv_scale: float = 1.0
+    reflectivity: float = 0.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "color", tuple(float(c) for c in self.color))
+        object.__setattr__(self, "color2", tuple(float(c) for c in self.color2))
+
+
+@dataclass(frozen=True)
+class TextureSurface:
+    """Image texture sampled by UV (reference MappedTexture image path).
+
+    ``texture`` is a row-major (th, tw, 3) nested tuple / list of floats at
+    IR level; the compiler packs it into the tables.  Bilinear filtering.
+    """
+
+    texture_id: int
+    uv_scale: float = 1.0
+    reflectivity: float = 0.0
+    alpha: float = 1.0
+
+
+Surface = Union[UniformSurface, CheckerSurface, TextureSurface]
+
+# ---------------------------------------------------------------------------
+# Portal + Entity + Camera + Scene
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Portal:
+    """Affine teleport applied when a ray transmits *into* the entity.
+
+    x -> linear @ x + translation ; d -> normalize(linear @ d).
+    Realises euclider's teleporting material transitions (SURVEY §3.4).
+    """
+
+    linear: Tuple[Tuple[float, ...], ...] = (
+        (1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, 0), (0, 0, 0, 1))
+    translation: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
+
+    def __post_init__(self):
+        lin = tuple(tuple(float(v) for v in row) for row in self.linear)
+        if len(lin) != 4 or any(len(r) != 4 for r in lin):
+            raise ValueError("portal linear part must be 4x4")
+        object.__setattr__(self, "linear", lin)
+        object.__setattr__(self, "translation", _pad4(self.translation))
+
+
+@dataclass(frozen=True)
+class Entity:
+    """shape + material(inside) + surface(boundary) — reference trait Entity."""
+
+    shape: Shape
+    material: Material = Vacuum()
+    surface: Surface = UniformSurface()
+    portal: Optional[Portal] = None
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class Camera:
+    """Free-flight pinhole camera, dimension-generic.
+
+    The image plane is spanned by ``right``/``up``; ``forward`` completes the
+    frame.  In 4D all basis vectors live in R^4 (reference d4 camera:
+    a 2D screen embedded in R^4, extra rotations re-orient the frame).
+    """
+
+    position: Sequence[float] = (0.0, 0.0, 0.0)
+    forward: Sequence[float] = (0.0, 0.0, -1.0)
+    up: Sequence[float] = (0.0, 1.0, 0.0)
+    right: Sequence[float] = (1.0, 0.0, 0.0)
+    fov_deg: float = 60.0
+
+    def __post_init__(self):
+        for f in ("position", "forward", "up", "right"):
+            object.__setattr__(self, f, _pad4(getattr(self, f)))
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    max_depth: int = 4
+    t_max: float = 100.0
+    march_steps: int = 256
+    max_nodes: int = 0  # 0 -> derived: 2**(max_depth+1) - 1 capped at 63
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def __post_init__(self):
+        object.__setattr__(self, "background",
+                           tuple(float(c) for c in self.background))
+
+
+@dataclass(frozen=True)
+class Scene:
+    """A complete scene: ordered entities (first-contains-wins for the
+    'which material am I in' query), ambient material, camera, settings."""
+
+    dim: int
+    entities: Tuple[Entity, ...]
+    camera: Camera = Camera()
+    ambient: Material = Vacuum()
+    settings: RenderSettings = RenderSettings()
+    textures: Tuple[Tuple[Tuple[Tuple[float, float, float], ...], ...], ...] = ()
+    name: str = ""
+
+    def __post_init__(self):
+        if self.dim not in (3, 4):
+            raise ValueError("dim must be 3 or 4")
+        object.__setattr__(self, "entities", tuple(self.entities))
