@@ -134,7 +134,9 @@ def leaf_crossings(leaf, tables, org: Vec, d: Vec):
         q = V.norm2(oc) - r * r
         disc = b * b - q
         ok = disc > 0.0
-        s = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # safe-where (not maximum): sqrt'(0)=inf would leak NaNs into
+        # reverse-mode grads of rays that miss the sphere
+        s = jnp.sqrt(jnp.where(ok, disc, 1.0))
         return [(-b - s, ok), (-b + s, ok)]
     # hyperplane / halfspace boundary: n·(o + t d) = c
     n = row_vec(tables, row)
@@ -209,9 +211,16 @@ def leaf_uv(leaf, tables, p: Vec, dim: int):
     if kind == "sphere":
         c = row_vec(tables, row)
         loc = V.sub(p, c)
-        u = jnp.arctan2(loc.y, loc.x) * (0.5 / jnp.pi) + 0.5
+        # pole guards: atan2 grad is NaN at (0,0); acos grad is inf at +-1.
+        # The 1e-6 clip margin is part of the semantics contract (oracles
+        # apply the same clip).
+        safe_x = jnp.where((jnp.abs(loc.x) + jnp.abs(loc.y)) < 1e-12,
+                           1.0, loc.x)
+        u = jnp.arctan2(loc.y, safe_x) * (0.5 / jnp.pi) + 0.5
         rlen = V.norm(loc)
-        v = jnp.arccos(jnp.clip(loc.z / jnp.maximum(rlen, 1e-12), -1.0, 1.0)) / jnp.pi
+        cz = jnp.clip(loc.z / jnp.maximum(rlen, 1e-12),
+                      -1.0 + 1e-6, 1.0 - 1e-6)
+        v = jnp.arccos(cz) / jnp.pi
         return u, v
     n = row_vec(tables, row)
     t1, t2 = plane_tangent_frame(n, dim)

@@ -33,6 +33,13 @@ def eval_surface(static, tables, s: int, u, v):
                 jnp.where(sel, col2[1], col[1]),
                 jnp.where(sel, col2[2], col[2]),
                 jnp.where(sel, col2[3], col[3]))
+    if kind == "smooth":
+        sc = tables.surf_uv_scale[s]
+        two_pi = 2.0 * jnp.pi
+        f = 0.25 * (1.0 + jnp.sin(two_pi * u * sc)) \
+                 * (1.0 + jnp.sin(two_pi * v * sc))
+        col2 = tables.surf_color2[s]
+        return tuple(col[c] + (col2[c] - col[c]) * f for c in range(4))
     if kind == "texture":
         tex = tables.textures[static.surf_texture[s]]  # [th, tw, 3]
         th, tw = tex.shape[0], tex.shape[1]

@@ -238,6 +238,7 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
         t_org = V.madd(p, PUSH, tdir)
         t_mat = m_to
         if static.has_portal:
+            any_portal = jnp.zeros(bshape, bool)
             for ei, e in enumerate(ents):
                 if e.portal is None:
                     continue
@@ -249,7 +250,10 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
                 t_org = V.where(selp, V.madd(pp, PUSH, pd), t_org)
                 tdir = V.where(selp, pd, tdir)
                 tok = tok | selp
-            t_mat = material_at(static, tables, t_org)
+                any_portal = any_portal | selp
+            # teleported rays land in a fresh region: re-resolve their material
+            t_mat = jnp.where(any_portal,
+                              material_at(static, tables, t_org), t_mat)
 
         w_t = wgt * (1.0 - refl) * (1.0 - ca)
         push_t = hit & tok & (w_t > W_EPS) & (depth >= 2)

@@ -110,7 +110,9 @@ def refract(d: Vec, n: Vec, eta):
     cos_i = -dot(d, n)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
     valid = k > 0.0
-    k_safe = jnp.sqrt(jnp.maximum(k, 0.0))
+    # safe-where: sqrt has an infinite derivative at 0, and NaNs from the
+    # invalid (TIR) branch would leak through jnp.where in reverse mode
+    k_safe = jnp.sqrt(jnp.where(valid, k, 1.0))
     coef = eta * cos_i - k_safe
     out = Vec(eta * d.x + coef * n.x, eta * d.y + coef * n.y,
               eta * d.z + coef * n.z, eta * d.w + coef * n.w)

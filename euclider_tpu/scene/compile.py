@@ -117,6 +117,8 @@ def _surf_kind(s: ir.Surface) -> str:
         return "uniform"
     if isinstance(s, ir.CheckerSurface):
         return "checker"
+    if isinstance(s, ir.SmoothSurface):
+        return "smooth"
     if isinstance(s, ir.TextureSurface):
         return "texture"
     raise TypeError(f"unknown surface {s!r}")
@@ -219,7 +221,7 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
         if isinstance(s, ir.UniformSurface):
             s_col[i] = s.color
             s_refl[i] = s.reflectivity
-        elif isinstance(s, ir.CheckerSurface):
+        elif isinstance(s, (ir.CheckerSurface, ir.SmoothSurface)):
             s_col[i] = s.color
             s_col2[i] = s.color2
             s_refl[i] = s.reflectivity

@@ -168,6 +168,25 @@ class CheckerSurface:
 
 
 @dataclass(frozen=True)
+class SmoothSurface:
+    """C^inf color field: rgba = color + (color2-color) * f(u,v) with
+    f = 0.25*(1+sin(2*pi*u*scale))*(1+sin(2*pi*v*scale)).
+
+    Exists so geometry/camera gradients are non-zero and finite-difference
+    checkable (checker/uniform surfaces are piecewise-constant in hit
+    position, which makes those gradients zero almost everywhere)."""
+
+    color: Tuple[float, float, float, float] = (0.1, 0.1, 0.4, 1.0)
+    color2: Tuple[float, float, float, float] = (0.9, 0.8, 0.2, 1.0)
+    uv_scale: float = 1.0
+    reflectivity: float = 0.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "color", tuple(float(c) for c in self.color))
+        object.__setattr__(self, "color2", tuple(float(c) for c in self.color2))
+
+
+@dataclass(frozen=True)
 class TextureSurface:
     """Image texture sampled by UV (reference MappedTexture image path).
 
@@ -181,7 +200,7 @@ class TextureSurface:
     alpha: float = 1.0
 
 
-Surface = Union[UniformSurface, CheckerSurface, TextureSurface]
+Surface = Union[UniformSurface, CheckerSurface, SmoothSurface, TextureSurface]
 
 # ---------------------------------------------------------------------------
 # Portal + Entity + Camera + Scene

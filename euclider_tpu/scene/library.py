@@ -10,8 +10,8 @@ from __future__ import annotations
 import numpy as np
 
 from .ir import (Camera, CheckerSurface, Csg, Dielectric, Entity, HalfSpace,
-                 Hyperplane, Portal, RenderSettings, Scene, Sphere,
-                 TextureSurface, UniformSurface, Vacuum, WarpSpace)
+                 Hyperplane, Portal, RenderSettings, Scene, SmoothSurface,
+                 Sphere, TextureSurface, UniformSurface, Vacuum, WarpSpace)
 
 
 def _cam3(pos, fwd, fov=60.0):
@@ -178,15 +178,40 @@ def config5_warp_portal() -> Scene:
     )
 
 
+def grad_probe() -> Scene:
+    """Smooth-surface fixture for gradient tests: every color is C^inf in
+    the hit position, so geometry/camera gradients are finite-difference
+    checkable away from silhouettes."""
+    return Scene(
+        dim=3,
+        name="grad_probe",
+        entities=(
+            Entity(Sphere((0.0, 0.0, -4.0), 1.0),
+                   surface=SmoothSurface(uv_scale=2.0, reflectivity=0.2),
+                   name="sphere"),
+            Entity(Sphere((1.4, 0.3, -5.5), 0.8), material=Dielectric(1.4),
+                   surface=SmoothSurface(color=(0.8, 0.2, 0.2, 0.15),
+                                         color2=(0.2, 0.8, 0.3, 0.15),
+                                         uv_scale=1.5),
+                   name="glassy"),
+            Entity(HalfSpace((0.0, -1.0, 0.0), 1.2),
+                   surface=SmoothSurface(uv_scale=0.4), name="floor"),
+        ),
+        camera=_cam3((0.0, 0.4, 1.0), (0.0, -0.1, -1.0)),
+        settings=RenderSettings(max_depth=3, background=(0.1, 0.1, 0.15)),
+    )
+
+
 BUILDERS = {
     "config1_sphere_room": config1_sphere_room,
     "config2_mirror_glass": config2_mirror_glass,
     "config3_csg_textured": config3_csg_textured,
     "config4_hypersphere": config4_hypersphere,
     "config5_warp_portal": config5_warp_portal,
+    "grad_probe": grad_probe,
 }
 
-ACCEPTANCE = tuple(BUILDERS)
+ACCEPTANCE = tuple(n for n in BUILDERS if n.startswith("config"))
 
 
 def get_scene(name: str) -> "Scene":

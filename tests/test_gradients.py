@@ -1,0 +1,176 @@
+"""Gradient correctness: jax.grad / jvp vs finite differences of the oracle
+and of the renderer itself (SURVEY.md §4.2; BASELINE 'pixel-gradient
+allclose').
+
+Silhouette pixels carry a boundary (Reynolds) term that interior-point
+autodiff intentionally omits (discrete hit selection is stop-gradiented), so
+comparisons exclude pixels whose finite difference is itself discontinuous —
+standard practice for differentiable renderers.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import euclider_tpu as et
+from euclider_tpu.oracle.cpu_oracle import render_oracle
+
+H, W = 16, 24
+
+
+def _tab_to_f32(tables):
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), tables)
+
+
+def _fd_vs_jvp(static, tables, cam, set_param, get_param, h, tol, bad_frac=0.03):
+    """Compare d(img)/dtheta by central differences (oracle, float64)
+    against jax.jvp through the renderer, on non-silhouette pixels."""
+    th0 = get_param(tables, cam)
+
+    def render_jax(theta):
+        t, c = set_param(tables, cam, theta)
+        return et.render_image(static, _tab_to_f32(t), c, H, W, True)
+
+    def render_orc(theta):
+        t, c = set_param(tables, cam, theta)
+        return render_oracle(static, t, c, H, W)
+
+    img_p = render_orc(th0 + h)
+    img_m = render_orc(th0 - h)
+    fd = (img_p - img_m) / (2 * h)
+
+    _, jv = jax.jvp(render_jax, (jnp.float32(th0),), (jnp.float32(1.0),))
+    jv = np.asarray(jv, np.float64)
+
+    # mask silhouette pixels: second-difference blowup marks discontinuities
+    img_0 = render_orc(th0)
+    nonsmooth = (np.abs(img_p + img_m - 2 * img_0).max(axis=-1)
+                 > 10 * h * h + 1e-4 * h)
+    mask = ~nonsmooth
+    assert mask.mean() > 0.5, "silhouette mask ate the whole image"
+    err = np.abs(fd - jv).max(axis=-1) * mask
+    scale = max(np.abs(fd[mask]).max(), 1.0)
+    bad = (err > tol * scale).mean()
+    assert bad <= bad_frac, (
+        f"grad mismatch on {bad:.3f} of pixels (tol {tol}, scale {scale:.3f}, "
+        f"max err {err.max():.4f})")
+
+
+@pytest.fixture(scope="module")
+def probe(compiled_scenes):
+    return compiled_scenes["grad_probe"]
+
+
+def test_grad_sphere_center(probe):
+    _, static, tables, cam = probe
+
+    def set_p(t, c, th):
+        sv = jnp.asarray(t.shape_vec).at[0, 2].set(th)
+        return t._replace(shape_vec=sv), c
+
+    def get_p(t, c):
+        return float(np.asarray(t.shape_vec)[0, 2])
+
+    _fd_vs_jvp(static, tables, cam, set_p, get_p, h=1e-4, tol=0.02)
+
+
+def test_grad_sphere_radius(probe):
+    _, static, tables, cam = probe
+
+    def set_p(t, c, th):
+        sc = jnp.asarray(t.shape_sc).at[0].set(th)
+        return t._replace(shape_sc=sc), c
+
+    def get_p(t, c):
+        return float(np.asarray(t.shape_sc)[0])
+
+    _fd_vs_jvp(static, tables, cam, set_p, get_p, h=1e-4, tol=0.02)
+
+
+def test_grad_camera_position(probe):
+    _, static, tables, cam = probe
+
+    def set_p(t, c, th):
+        pos = jnp.asarray(c.position).at[0].set(th)
+        return t, c._replace(position=pos)
+
+    def get_p(t, c):
+        return float(np.asarray(c.position)[0])
+
+    _fd_vs_jvp(static, tables, cam, set_p, get_p, h=1e-4, tol=0.02)
+
+
+def test_grad_surface_color(probe):
+    _, static, tables, cam = probe
+
+    def set_p(t, c, th):
+        col = jnp.asarray(t.surf_color).at[0, 0].set(th)
+        return t._replace(surf_color=col), c
+
+    def get_p(t, c):
+        return float(np.asarray(t.surf_color)[0, 0])
+
+    _fd_vs_jvp(static, tables, cam, set_p, get_p, h=1e-3, tol=0.01)
+
+
+def test_grad_reverse_mode_runs(probe):
+    """reverse-mode end-to-end: grad of a scalar loss w.r.t. all tables."""
+    _, static, tables, cam = probe
+    tab = _tab_to_f32(tables)
+
+    def loss(t, c):
+        img = et.render_image(static, t, c, H, W, True)
+        return jnp.mean((img - 0.3) ** 2)
+
+    (gt, gc) = jax.grad(loss, argnums=(0, 1))(tab, cam)
+    flat = [np.asarray(x) for x in jax.tree.leaves(gt)] + \
+           [np.asarray(x) for x in jax.tree.leaves(gc)]
+    assert all(np.isfinite(x).all() for x in flat)
+    # geometry and camera grads must be nonzero for smooth surfaces
+    assert np.abs(np.asarray(gt.shape_vec)).sum() > 0
+    assert np.abs(np.asarray(gc.position)).sum() > 0
+
+
+def test_grad_warp_strength():
+    """Gradient flows through the iterative march (warp strength).
+
+    Needs a smooth surface behind the warp region: with checker/uniform
+    surfaces the strength gradient is zero a.e. (it only moves boundaries)."""
+    from euclider_tpu.scene import ir
+    region = ir.Entity(ir.Sphere((0, 0, -4), 1.8),
+                       material=ir.WarpSpace(center=(0, 0, -4), strength=0.4,
+                                             step=0.05),
+                       surface=ir.UniformSurface((0, 0, 0, 0.0)))
+    wall = ir.Entity(ir.Hyperplane((0, 0, 1), -8.0),
+                     surface=ir.SmoothSurface(uv_scale=0.5))
+    sc = ir.Scene(dim=3, entities=(region, wall),
+                  settings=ir.RenderSettings(max_depth=3, march_steps=200,
+                                             background=(0.1, 0.1, 0.2)))
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    tab = _tab_to_f32(tables)
+
+    def loss(ws):
+        t = tab._replace(mat_warp_strength=ws)
+        img = et.render_image(static, t, cam, 12, 16, True)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(tab.mat_warp_strength))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
+
+    # and it matches finite differences of the oracle
+    ws0 = float(np.asarray(tables.mat_warp_strength)[1])
+    idx = int(np.argmax(np.asarray(tables.mat_warp_strength) != 0.0)) \
+        if np.any(np.asarray(tables.mat_warp_strength) != 0.0) else 1
+    h = 1e-3
+
+    def orc(wsv):
+        t = tables._replace(mat_warp_strength=np.asarray(
+            tables.mat_warp_strength).copy())
+        t.mat_warp_strength[idx] = wsv
+        return render_oracle(static, t, cam, 12, 16).mean()
+
+    ws0 = float(np.asarray(tables.mat_warp_strength)[idx])
+    fd = (orc(ws0 + h) - orc(ws0 - h)) / (2 * h)
+    assert np.isclose(float(g[idx]), fd, rtol=0.15, atol=1e-3)

@@ -1,0 +1,32 @@
+"""C++ oracle parity: the native ground-truth renderer must match both the
+NumPy oracle (scalar recursion twin) and the lax renderer on every scene."""
+import numpy as np
+import pytest
+
+import euclider_tpu as et
+from euclider_tpu.oracle.cpu_oracle import render_oracle
+from euclider_tpu.oracle.native_oracle import render_native
+
+from conftest import assert_images_close
+
+RES = (20, 32)
+
+
+@pytest.mark.parametrize("name", et.ACCEPTANCE + ("grad_probe",))
+def test_native_matches_numpy_oracle(name, compiled_scenes):
+    _, static, tables, cam = compiled_scenes[name]
+    H, W = RES
+    a = render_oracle(static, tables, cam, H, W)
+    b = render_native(static, tables, cam, H, W)
+    # identical float64 recursion, float32 output cast: ~3e-8
+    assert_images_close(a, b, atol=1e-6, msg=name)
+
+
+def test_native_matches_lax_fullres():
+    """Spot-check at higher resolution than the NumPy oracle can afford."""
+    sc = et.get_scene("config2_mirror_glass")
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    a = np.asarray(et.render_image_jit(static, tables, cam, 90, 160))
+    b = render_native(static, tables, cam, 90, 160)
+    assert_images_close(a, b, atol=1e-4, max_bad_frac=0.01, msg="90x160")
