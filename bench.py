@@ -1,0 +1,128 @@
+"""Benchmark entry: Mrays/s/chip at 1280x720 on the headline 3D scene.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+vs_baseline is measured against the BASELINE.json target of 50 Mrays/s/chip
+(the reference publishes no numbers — SURVEY.md §6), so vs_baseline = value/50.
+
+Backend: Pallas megakernel on the TPU chip; falls back to the lax backend if
+Pallas fails to compile on the current platform.  Extra diagnostics go to
+stderr; stdout carries exactly the one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# persistent compilation cache: Mosaic compiles through the axon tunnel can
+# take minutes cold; cache them across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+H, W = 720, 1280
+SCENE = "config1_sphere_room"
+TARGET_MRAYS = 50.0
+WARMUP = 5
+ITERS = 50
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    import numpy as np
+    import euclider_tpu as et
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={jax.default_backend()}")
+
+    sc = et.get_scene(SCENE)
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+
+    import jax.numpy as jnp
+
+    backend = "pallas"
+    try:
+        from euclider_tpu.ops.pallas_kernel import render_image_pallas
+
+        t0 = time.time()
+        img = np.asarray(render_image_pallas(static, tables, cam, H, W))
+        log(f"pallas compile+first run: {time.time()-t0:.1f}s")
+        render_ = lambda c: render_image_pallas(static, tables, c, H, W)
+    except Exception as e:  # pragma: no cover
+        log(f"pallas failed ({type(e).__name__}: {e}); falling back to lax")
+        backend = "lax"
+        render_ = lambda c: et.render_image_jit(static, tables, cam, H, W)
+        img = np.asarray(render_(cam))
+
+    # chained-sum timing: on this platform block_until_ready does not
+    # reliably force remote execution, so each frame's sum feeds an
+    # accumulator and only the final scalar is materialised — every render
+    # must actually execute, and per-frame host sync is excluded
+    import jax
+
+    @jax.jit
+    def frame_sum(tanf):
+        im = render_(cam._replace(tan_half_fov=tanf))
+        return im.sum()
+
+    if np.isnan(img).any():
+        log("ERROR: NaNs in rendered frame")
+        return 1
+
+    # quick correctness spot-check against the C++ oracle at low res
+    try:
+        from euclider_tpu.oracle.native_oracle import render_native
+
+        if backend == "pallas":
+            from euclider_tpu.ops.pallas_kernel import render_image_pallas as rp
+            small = np.asarray(rp(static, tables, cam, 48, 128))
+        else:
+            small = np.asarray(et.render_image_jit(static, tables, cam, 48, 128))
+        gold = render_native(static, tables, cam, 48, 128)
+        err = np.abs(small - gold).max(axis=-1)
+        frac = float((err < 2e-3).mean())
+        log(f"correctness vs C++ oracle (48x128): frac_ok={frac:.4f} "
+            f"maxerr={err.max():.2e}")
+        if frac < 0.99:
+            log("ERROR: correctness gate failed")
+            return 1
+    except Exception as e:
+        log(f"oracle check skipped: {type(e).__name__}: {e}")
+
+    base = float(cam.tan_half_fov)
+    for i in range(WARMUP):
+        float(frame_sum(jnp.float32(base * (1 + 1e-6 * i))))
+    tanfs = [jnp.float32(base * (1 + 1e-5 * i)) for i in range(ITERS)]
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for tf in tanfs:
+        acc = acc + frame_sum(tf)
+    float(acc)  # force the whole chain
+    dt = (time.perf_counter() - t0) / ITERS
+    mrays = H * W / dt / 1e6
+    log(f"backend={backend} {dt*1000:.2f} ms/frame (chained)")
+
+    print(json.dumps({
+        "metric": f"Mrays/s/chip ({SCENE} {W}x{H}, {backend})",
+        "value": round(mrays, 1),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import mathx
 from . import vec as V
 from .vec import Vec
 
@@ -216,11 +217,13 @@ def leaf_uv(leaf, tables, p: Vec, dim: int):
         # apply the same clip).
         safe_x = jnp.where((jnp.abs(loc.x) + jnp.abs(loc.y)) < 1e-12,
                            1.0, loc.x)
-        u = jnp.arctan2(loc.y, safe_x) * (0.5 / jnp.pi) + 0.5
+        # mathx (not jnp) trig: Mosaic has no atan2/acos lowering, and using
+        # one implementation everywhere keeps lax and Pallas bit-identical
+        u = mathx.atan2(loc.y, safe_x) * (0.5 / jnp.pi) + 0.5
         rlen = V.norm(loc)
         cz = jnp.clip(loc.z / jnp.maximum(rlen, 1e-12),
                       -1.0 + 1e-6, 1.0 - 1e-6)
-        v = jnp.arccos(cz) / jnp.pi
+        v = mathx.acos(cz) / jnp.pi
         return u, v
     n = row_vec(tables, row)
     t1, t2 = plane_tangent_frame(n, dim)

@@ -47,11 +47,17 @@ def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h):
     ents = static.entities
     E = len(ents)
     zero = jnp.zeros_like(org.x)
+    zi = jnp.zeros(jnp.shape(org.x), jnp.int32)
 
-    sides0 = tuple(G.side(e.shape, tables, org) for e in ents)
-    crossed0 = tuple(jnp.zeros_like(org.x, dtype=bool) for _ in range(E))
+    # loop carries use int32 flags, not bool: Mosaic rejects i1 vector
+    # carries ("Unsupported target bitwidth for truncation")
+    def side_i(node, p):
+        return G.side(node, tables, p).astype(jnp.int32)
 
-    carry = (org, d0, jnp.zeros_like(org.x, dtype=bool),  # x, v, done
+    sides0 = tuple(side_i(e.shape, org) for e in ents)
+    crossed0 = tuple(zi for _ in range(E))
+
+    carry = (org, d0, zi,                                  # x, v, done
              org, org, d0,                                 # seg x0, x1, v
              sides0, crossed0, zero)                       # sides, crossed, dist
 
@@ -60,25 +66,30 @@ def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h):
         a = warp_accel(wc, ws, x)
         v1 = V.normalize(V.madd(v, h, a))
         x1 = V.madd(x, h, v1)
-        new_sides = tuple(G.side(e.shape, tables, x1) for e in ents)
-        cr = tuple(sides[i] ^ new_sides[i] for i in range(E))
+        new_sides = tuple(side_i(e.shape, x1) for e in ents)
+        cr = tuple((sides[i] != new_sides[i]).astype(jnp.int32)
+                   for i in range(E))
         any_cr = cr[0]
         for c in cr[1:]:
             any_cr = any_cr | c
-        newly = (~done) & any_cr
+        newly = ((1 - done) & any_cr) == 1
+        done_b = done == 1
         sx0 = V.where(newly, x, sx0)
         sx1 = V.where(newly, x1, sx1)
         sv = V.where(newly, v1, sv)
         crossed = tuple(jnp.where(newly, cr[i], crossed[i]) for i in range(E))
-        done_next = done | newly | (dist > static.t_max)
-        x = V.where(done, x, x1)
-        v = V.where(done, v, v1)
-        sides = tuple(jnp.where(done, sides[i], new_sides[i]) for i in range(E))
-        dist = jnp.where(done, dist, dist + h)
+        done_next = done | newly.astype(jnp.int32) \
+            | (dist > static.t_max).astype(jnp.int32)
+        x = V.where(done_b, x, x1)
+        v = V.where(done_b, v, v1)
+        sides = tuple(jnp.where(done_b, sides[i], new_sides[i])
+                      for i in range(E))
+        dist = jnp.where(done_b, dist, dist + h)
         return (x, v, done_next, sx0, sx1, sv, sides, crossed, dist)
 
     carry = jax.lax.fori_loop(0, static.march_steps, body, carry)
-    _, _, _, sx0, sx1, sv, _, crossed, _ = carry
+    _, _, _, sx0, sx1, sv, _, crossed_i, _ = carry
+    crossed = tuple(c == 1 for c in crossed_i)
 
     # refine each crossed entity by bisection on [sx0, sx1]; keep the nearest
     hit = jnp.zeros_like(org.x, dtype=bool)

@@ -1,0 +1,173 @@
+"""Tiled Pallas megakernel: the whole march/intersect/shade loop per tile.
+
+BASELINE.json:5 mandate: "the per-pixel CPU loop becomes a tiled Pallas
+megakernel with persistent ray batches".  Each grid instance owns a
+(TILE_H x TILE_W) pixel tile; rays are generated in-kernel from program_id,
+and the full DFS-stack bounce loop (ops.trace.trace_batch — shared verbatim
+with the lax backend) runs with every stack slot resident in VMEM.  Nothing
+round-trips to HBM between bounces; the only HBM traffic is the tiny scene
+tables in and the final RGB tile out, so the kernel is compute-bound on the
+VPU rather than HBM-bandwidth-bound like a whole-frame lax render.
+
+Scene tables are passed as small 2D VMEM blocks (replicated across grid
+instances); the static topology is burned into the kernel body exactly as in
+the lax backend.  Gradients: forward runs the Pallas kernel, backward
+recomputes via the differentiable lax path (custom_vjp) — a dedicated
+backward kernel is a later optimisation.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.compile import CameraParams, SceneTables
+from . import trace as T
+
+DEFAULT_TILE = (16, 128)
+
+
+def _pack_camera(cam: CameraParams) -> jnp.ndarray:
+    """Camera params packed into a (1, 24) f32 SMEM-friendly row."""
+    row = jnp.concatenate([
+        jnp.asarray(cam.position, jnp.float32).reshape(4),
+        jnp.asarray(cam.forward, jnp.float32).reshape(4),
+        jnp.asarray(cam.up, jnp.float32).reshape(4),
+        jnp.asarray(cam.right, jnp.float32).reshape(4),
+        jnp.reshape(jnp.asarray(cam.tan_half_fov, jnp.float32), (1,)),
+        jnp.zeros((7,), jnp.float32),
+    ])
+    return row.reshape(1, 24)
+
+
+# table fields passed to the kernel, as (name, to_2d, from_2d) transforms
+def _table_views(tables: SceneTables):
+    """2D views of every table array (Mosaic wants >=2D operands)."""
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return [
+        f32(tables.shape_vec),                       # [S, 4]
+        f32(tables.shape_sc).reshape(-1, 1),         # [S, 1]
+        f32(tables.mat_ior).reshape(-1, 1),          # [M, 1]
+        f32(tables.mat_warp_center),                 # [M, 4]
+        f32(tables.mat_warp_strength).reshape(-1, 1),
+        f32(tables.mat_warp_step).reshape(-1, 1),
+        f32(tables.surf_color),                      # [U, 4]
+        f32(tables.surf_color2),
+        f32(tables.surf_refl).reshape(-1, 1),
+        f32(tables.surf_uv_scale).reshape(-1, 1),
+        f32(tables.portal_lin).reshape(-1, 16),      # [P, 16]
+        f32(tables.portal_tr),                       # [P, 4]
+        f32(tables.background).reshape(1, 3),
+    ]
+
+
+def _unpack_tables(refs) -> SceneTables:
+    (sv, sc, ior, wc, ws, wh, col, col2, refl, uvs, plin, ptr, bg) = refs
+    return SceneTables(
+        shape_vec=sv[:],
+        shape_sc=sc[:][:, 0],
+        mat_ior=ior[:][:, 0],
+        mat_warp_center=wc[:],
+        mat_warp_strength=ws[:][:, 0],
+        mat_warp_step=wh[:][:, 0],
+        surf_color=col[:],
+        surf_color2=col2[:],
+        surf_refl=refl[:][:, 0],
+        surf_uv_scale=uvs[:][:, 0],
+        portal_lin=plin[:].reshape(-1, 4, 4),
+        portal_tr=ptr[:],
+        background=bg[:][0],
+        textures=(),
+    )
+
+
+def _kernel(static, H, W, TH, TW, loop, cam_ref, *refs):
+    table_refs, out_ref = refs[:-1], refs[-1]
+    tables = _unpack_tables(table_refs)
+    def crow(a, b):  # SMEM allows scalar loads only
+        return jnp.stack([cam_ref[0, k] for k in range(a, b)])
+
+    cam = CameraParams(position=crow(0, 4), forward=crow(4, 8),
+                       up=crow(8, 12), right=crow(12, 16),
+                       tan_half_fov=cam_ref[0, 16])
+
+    iy0 = pl.program_id(0) * TH
+    ix0 = pl.program_id(1) * TW
+    yi = (iy0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+          ).astype(jnp.float32)
+    xi = (ix0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+          ).astype(jnp.float32)
+
+    org, d = T.camera_rays(cam, xi, yi, W, H)
+    r, g, b = T.trace_batch(static, tables, org, d,
+                            differentiable=(loop == "fori"))
+    out_ref[0, :, :] = r
+    out_ref[1, :, :] = g
+    out_ref[2, :, :] = b
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+def render_image_pallas(static, tables, cam, H: int, W: int,
+                        tile=DEFAULT_TILE, loop: str = "while",
+                        interpret: bool = False):
+    """Render a frame with the Pallas megakernel -> [H, W, 3] float32.
+
+    tile: (TILE_H, TILE_W); TILE_W should be a multiple of 128 and TILE_H a
+    multiple of 8 for clean (sublane, lane) tiling.  loop='while' early-exits
+    when every ray's stack drains; 'fori' runs the static max_nodes trips
+    (used by the differentiable path).
+    """
+    if any(k == "texture" for k in static.surf_kinds):
+        raise NotImplementedError(
+            "texture surfaces need per-lane gathers; use the lax backend")
+    TH, TW = tile
+    Hp, Wp = _cdiv(H, TH) * TH, _cdiv(W, TW) * TW
+    views = _table_views(tables)
+    grid = (Hp // TH, Wp // TW)
+
+    in_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    for v in views:
+        in_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        partial(_kernel, static, H, W, TH, TW, loop),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, TH, TW), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+        interpret=interpret,
+    )(_pack_camera(cam), *views)
+    return jnp.transpose(out[:, :H, :W], (1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: Pallas forward, lax backward (recompute)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def render_image_pallas_diff(static, tables, cam, H: int, W: int):
+    return render_image_pallas(static, tables, cam, H, W)
+
+
+def _fwd(static, tables, cam, H, W):
+    return render_image_pallas(static, tables, cam, H, W), (tables, cam)
+
+
+def _bwd(static, H, W, res, g):
+    tables, cam = res
+    _, vjp = jax.vjp(
+        lambda t, c: T.render_image(static, t, c, H, W, True), tables, cam)
+    return vjp(g)
+
+
+render_image_pallas_diff.defvjp(_fwd, _bwd)

@@ -123,7 +123,9 @@ def propagate(static, tables, org: Vec, d: Vec, mat_ids):
         wc, ws, h = warp_params(static, tables, mat_ids)
         mh_hit, mh_p, mh_d, mh_ent, mh_n, mh_u, mh_v = M.march_hit(
             static, tables, org, d, wc, ws, h)
-        hit = jnp.where(wm, mh_hit, hit)
+        # logical merge, not jnp.where: Mosaic cannot lower selects between
+        # i1 vectors ("Unsupported target bitwidth for truncation")
+        hit = (wm & mh_hit) | (~wm & hit)
         p = V.where(wm, mh_p, p)
         dout = V.where(wm, mh_d, dout)
         ent = jnp.where(wm, mh_ent, ent)
@@ -188,11 +190,11 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
     used_surfs = sorted({e.surface for e in ents})
 
     def cond(carry):
-        sp, it, _, _, _, _, _ = carry
+        sp, it, _, _, _, _ = carry
         return (it < static.max_nodes) & jnp.any(sp > 0)
 
     def body(carry):
-        sp, it, ar, ag, ab, slots, _ = carry
+        sp, it, ar, ag, ab, slots = carry
         active = sp > 0
         top = jnp.maximum(sp - 1, 0)
         org, d, wgt, mat, depth = read_slot(slots, top)
@@ -270,15 +272,15 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
                            (r_org, rdir, w_r, mat, depth - 1))
         sp = sp + push_r.astype(jnp.int32)
 
-        return (sp, it + 1, ar, ag, ab, slots, active)
+        return (sp, it + 1, ar, ag, ab, slots)
 
-    carry = (sp, it0, zf, zf, zf, slots, jnp.zeros(bshape, bool))
+    carry = (sp, it0, zf, zf, zf, slots)
     if differentiable:
         carry = jax.lax.fori_loop(0, static.max_nodes,
                                   lambda _, c: body(c), carry)
     else:
         carry = jax.lax.while_loop(cond, body, carry)
-    _, _, ar, ag, ab, _, _ = carry
+    _, _, ar, ag, ab, _ = carry
     return ar, ag, ab
 
 

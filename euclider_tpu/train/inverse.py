@@ -1,0 +1,85 @@
+"""Inverse rendering: fit scene/camera parameters to target images.
+
+The 'training' counterpart mandated by the north star (BASELINE.json:5):
+rays/tiles sharded across the mesh, parameter gradients all-reduced with
+psum as part of the backward pass (the transpose of the replicated-in /
+pmean-out shard_map automatically inserts the psum, which XLA overlaps with
+the remaining backward computation).
+
+Typical use:
+    params = InverseParams(tables, cam)
+    step, opt_state = make_train_step(static, H, W, mesh, optax.adam(1e-2),
+                                      params)
+    params, opt_state, loss = step(params, opt_state, target_image)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import trace as T
+from ..parallel.mesh import make_mesh, shard_map
+
+
+class InverseParams(NamedTuple):
+    tables: object   # SceneTables
+    cam: object      # CameraParams
+
+
+def _local_loss(static, H, W, Hl, tables, cam, target_slab):
+    row0 = jax.lax.axis_index("rows") * Hl
+    yi = (row0.astype(jnp.float32)
+          + jax.lax.broadcasted_iota(jnp.float32, (Hl, W), 0))
+    xi = jax.lax.broadcasted_iota(jnp.float32, (Hl, W), 1)
+    org, d = T.camera_rays(cam, xi, yi, W, H)
+    r, g, b = T.trace_batch(static, tables, org, d, differentiable=True)
+    img = jnp.stack([r, g, b], axis=-1)
+    l = jnp.mean((img - target_slab) ** 2)
+    return jax.lax.pmean(l, "rows")
+
+
+def make_loss_fn(static, H: int, W: int, mesh: Mesh):
+    n = mesh.devices.size
+    if H % n:
+        raise ValueError(f"H={H} not divisible by mesh size {n}")
+    Hl = H // n
+    local = partial(_local_loss, static, H, W, Hl)
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(P(), P(), P("rows")),
+                        out_specs=P(), check_vma=False)
+
+    def loss(params: InverseParams, target):
+        return sharded(params.tables, params.cam, target)
+
+    return loss
+
+
+def make_train_step(static, H: int, W: int, mesh: Mesh, optimizer,
+                    params: InverseParams):
+    """Returns (jitted step fn, initial optimizer state).
+
+    step(params, opt_state, target) -> (params, opt_state, loss).
+    Gradients of the replicated params are psum-reduced over the mesh inside
+    the backward pass.
+    """
+    loss_fn = make_loss_fn(static, H, W, mesh)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, target):
+        l, g = jax.value_and_grad(loss_fn)(params, target)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
+
+    return step, opt_state
+
+
+def shard_target(target, mesh: Mesh):
+    """Place a host target image with rows sharded over the mesh."""
+    return jax.device_put(target, NamedSharding(mesh, P("rows")))

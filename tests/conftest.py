@@ -11,8 +11,18 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize pins jax_platforms to the tunneled TPU regardless of
+# the env var; override it post-import so tests run on the virtual CPU mesh
+# and never contend for the shared chip.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) >= 8, jax.devices()
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,99 @@
+"""Sharded rendering + distributed training step on the 8-device CPU mesh
+(SURVEY.md §4.4: multi-host logic without a cluster)."""
+import jax
+import numpy as np
+import optax
+import pytest
+
+import euclider_tpu as et
+from euclider_tpu.parallel.mesh import (gather_frame, make_mesh,
+                                        render_image_sharded)
+from euclider_tpu.train.inverse import (InverseParams, make_loss_fn,
+                                        make_train_step, shard_target)
+
+from conftest import assert_images_close
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+def _f32(t):
+    import jax.numpy as jnp
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), t)
+
+
+def test_sharded_render_matches_single(compiled_scenes, mesh):
+    _, static, tables, cam = compiled_scenes["config2_mirror_glass"]
+    H, W = 32, 64
+    a = np.asarray(et.render_image_jit(static, tables, cam, H, W))
+    b = np.asarray(render_image_sharded(static, tables, cam, H, W, mesh))
+    assert_images_close(a, b, atol=1e-5, msg="sharded-vs-single")
+    # output really is sharded over rows
+    img = render_image_sharded(static, tables, cam, H, W, mesh)
+    assert len(img.sharding.device_set) == 8
+
+
+def test_sharded_render_uneven_rejected(compiled_scenes, mesh):
+    _, static, tables, cam = compiled_scenes["config1_sphere_room"]
+    with pytest.raises(ValueError, match="not divisible"):
+        render_image_sharded(static, tables, cam, 30, 64, mesh)
+
+
+def test_gather_frame(compiled_scenes, mesh):
+    _, static, tables, cam = compiled_scenes["config1_sphere_room"]
+    img = render_image_sharded(static, tables, cam, 16, 32, mesh)
+    host = gather_frame(img)
+    assert isinstance(np.asarray(host), np.ndarray)
+
+
+def test_train_step_converges(compiled_scenes, mesh):
+    """Inverse rendering sanity: recover a perturbed sphere color."""
+    _, static, tables, cam = compiled_scenes["grad_probe"]
+    tables = _f32(tables)
+    H, W = 16, 32
+
+    target = np.asarray(et.render_image_jit(static, tables, cam, H, W))
+    target_sharded = shard_target(target, mesh)
+
+    # perturb the surface colors, then optimize ONLY the colors back
+    # (optimizing every parameter incl. geometry/camera from a color-only
+    # perturbation is ill-posed at test scale)
+    import jax.numpy as jnp
+    loss_fn = make_loss_fn(static, H, W, mesh)
+
+    def color_loss(cols, target):
+        t = tables._replace(surf_color=cols[0], surf_color2=cols[1])
+        return loss_fn(InverseParams(t, cam), target)
+
+    cols = (jnp.asarray(tables.surf_color).at[:, :3].add(0.2),
+            jnp.asarray(tables.surf_color2).at[:, :3].add(-0.15))
+    opt = optax.adam(3e-2)
+    opt_state = opt.init(cols)
+
+    @jax.jit
+    def step(cols, opt_state, target):
+        l, g = jax.value_and_grad(color_loss)(cols, target)
+        updates, opt_state = opt.update(g, opt_state, cols)
+        return optax.apply_updates(cols, updates), opt_state, l
+
+    l0 = float(color_loss(cols, target_sharded))
+    for _ in range(40):
+        cols, opt_state, loss = step(cols, opt_state, target_sharded)
+    l1 = float(loss)
+    assert l1 < l0 * 0.2, (l0, l1)
+
+
+def test_grads_replicated_after_psum(compiled_scenes, mesh):
+    """Parameter grads must come out identical (replicated) on every device."""
+    _, static, tables, cam = compiled_scenes["grad_probe"]
+    tables = _f32(tables)
+    H, W = 16, 32
+    loss_fn = make_loss_fn(static, H, W, mesh)
+    target = shard_target(np.zeros((H, W, 3), np.float32), mesh)
+    g = jax.grad(lambda p: loss_fn(p, target))(InverseParams(tables, cam))
+    gc = np.asarray(g.tables.surf_color)
+    assert np.isfinite(gc).all()
+    assert np.abs(gc).sum() > 0
