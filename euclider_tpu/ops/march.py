@@ -34,12 +34,19 @@ def warp_accel(center: Vec, strength, x: Vec) -> Vec:
     return V.scale(d, strength * inv_r3)
 
 
-def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h):
+def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h,
+              differentiable: bool = False, active=None):
     """March a batch of rays; returns the first entity-boundary crossing.
 
     wc / ws / h are the per-ray warp parameters (already selected from the
     material tables by the caller).  Straight-material rays can pass through
-    with ws == 0 (they march straight); callers normally mask them out.
+    with ws == 0 (they march straight); callers normally mask them out —
+    pass their mask as ``active`` so the forward path's early-exit
+    while_loop can skip the whole march when no ray needs it.
+
+    With ``differentiable=True`` the loop is a static fori_loop (reverse-mode
+    differentiable); otherwise a while_loop that exits as soon as every
+    active ray is done.
 
     Returns (hit, p, dir_at_hit, ent_sel, normal, u, v) where ent_sel is an
     i32 entity index (garbage when ~hit) and normal is unoriented.
@@ -56,8 +63,9 @@ def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h):
 
     sides0 = tuple(side_i(e.shape, org) for e in ents)
     crossed0 = tuple(zi for _ in range(E))
+    done0 = zi if active is None else (~active).astype(jnp.int32)
 
-    carry = (org, d0, zi,                                  # x, v, done
+    carry = (org, d0, done0,                               # x, v, done
              org, org, d0,                                 # seg x0, x1, v
              sides0, crossed0, zero)                       # sides, crossed, dist
 
@@ -87,7 +95,18 @@ def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h):
         dist = jnp.where(done_b, dist, dist + h)
         return (x, v, done_next, sx0, sx1, sv, sides, crossed, dist)
 
-    carry = jax.lax.fori_loop(0, static.march_steps, body, carry)
+    if differentiable:
+        carry = jax.lax.fori_loop(0, static.march_steps, body, carry)
+    else:
+        def cond(sc):
+            step, c = sc
+            return (step < static.march_steps) & jnp.any(c[2] == 0)
+
+        def wbody(sc):
+            step, c = sc
+            return step + 1, body(step, c)
+
+        _, carry = jax.lax.while_loop(cond, wbody, (jnp.int32(0), carry))
     _, _, _, sx0, sx1, sv, _, crossed_i, _ = carry
     crossed = tuple(c == 1 for c in crossed_i)
 

@@ -25,8 +25,6 @@ Exact semantics are pinned in docs/SEMANTICS.md; the NumPy and C++ oracles
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -112,7 +110,8 @@ def nearest_hit_straight(static, tables, org: Vec, d: Vec):
     return best_t, hit, ent, n, u, v
 
 
-def propagate(static, tables, org: Vec, d: Vec, mat_ids):
+def propagate(static, tables, org: Vec, d: Vec, mat_ids,
+              differentiable: bool = False):
     """One segment: from org along d inside material mat_ids until the first
     entity boundary.  Returns (hit, p, dir_at_hit, ent, normal, u, v)."""
     t, hit, ent, n, u, v = nearest_hit_straight(static, tables, org, d)
@@ -122,7 +121,8 @@ def propagate(static, tables, org: Vec, d: Vec, mat_ids):
         wm = warp_mask(static, mat_ids)
         wc, ws, h = warp_params(static, tables, mat_ids)
         mh_hit, mh_p, mh_d, mh_ent, mh_n, mh_u, mh_v = M.march_hit(
-            static, tables, org, d, wc, ws, h)
+            static, tables, org, d, wc, ws, h,
+            differentiable=differentiable, active=wm)
         # logical merge, not jnp.where: Mosaic cannot lower selects between
         # i1 vectors ("Unsupported target bitwidth for truncation")
         hit = (wm & mh_hit) | (~wm & hit)
@@ -200,7 +200,8 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
         org, d, wgt, mat, depth = read_slot(slots, top)
         sp = jnp.where(active, sp - 1, sp)
 
-        hit, p, dout, ent, n, u, v = propagate(static, tables, org, d, mat)
+        hit, p, dout, ent, n, u, v = propagate(static, tables, org, d, mat,
+                                               differentiable)
         hit = hit & active
         miss = active & ~hit
 

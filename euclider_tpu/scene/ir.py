@@ -18,7 +18,7 @@ on the Scene selects 3D or 4D semantics (SURVEY.md §3.5).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple, Union
 
 # ---------------------------------------------------------------------------

@@ -10,8 +10,8 @@ from __future__ import annotations
 import numpy as np
 
 from .ir import (Camera, CheckerSurface, Csg, Dielectric, Entity, HalfSpace,
-                 Hyperplane, Portal, RenderSettings, Scene, SmoothSurface,
-                 Sphere, TextureSurface, UniformSurface, Vacuum, WarpSpace)
+                 Portal, RenderSettings, Scene, SmoothSurface, Sphere,
+                 TextureSurface, UniformSurface, WarpSpace)
 
 
 def _cam3(pos, fwd, fov=60.0):

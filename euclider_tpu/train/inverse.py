@@ -23,7 +23,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import trace as T
-from ..parallel.mesh import make_mesh, shard_map
+from ..parallel.mesh import shard_map
 
 
 class InverseParams(NamedTuple):
