@@ -18,6 +18,14 @@ import jax  # noqa: E402
 # and never contend for the shared chip.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the config5 march + differentiable-bounce
+# programs take minutes to compile on CPU XLA; cache them across suite runs
+# (first run warms the cache, later runs are IO-bound only).
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
