@@ -235,7 +235,7 @@ def leaf_uv(leaf, tables, p: Vec, dim: int):
 # ---------------------------------------------------------------------------
 
 def entity_hit_straight(node, tables, org: Vec, d: Vec, dim: int,
-                        t_max: float):
+                        t_max: float, need_uv: bool = True):
     """Nearest valid boundary crossing of a straight ray with one shape.
 
     For primitives every root with t in (EPS_T, t_max) is a boundary.  For a
@@ -244,7 +244,9 @@ def entity_hit_straight(node, tables, org: Vec, d: Vec, dim: int,
     reference's lazy interval iteration).
 
     Returns (t, hit, normal, u, v): normal is the *unoriented* leaf normal at
-    the crossing; all arrays batched like org.x.
+    the crossing; all arrays batched like org.x.  ``need_uv=False`` elides
+    the UV math (atan2/acos for spheres) and returns zero u, v — used when
+    the entity's surface color is UV-independent.
     """
     csg = not is_primitive(node)
     best_t = jnp.full_like(org.x, t_max)
@@ -264,7 +266,10 @@ def entity_hit_straight(node, tables, org: Vec, d: Vec, dim: int,
                                  ^ member(node, tables, pp))
             p = V.madd(org, t, d)
             n = leaf_normal(leaf, tables, p)
-            u, v = leaf_uv(leaf, tables, p, dim)
+            if need_uv:
+                u, v = leaf_uv(leaf, tables, p, dim)
+            else:
+                u = v = jnp.zeros_like(t)
             take = valid & (t < best_t)
             best_t = jnp.where(take, t, best_t)
             best_hit = best_hit | take

@@ -121,6 +121,8 @@ def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h,
 
     for ei, e in enumerate(ents):
         node = e.shape
+        need_uv = (static.surf_need_uv[e.surface]
+                   if static.surf_need_uv else True)
         s0 = G.side(node, tables, sx0)
         lo = jnp.zeros_like(org.x)
         hi = jnp.ones_like(org.x)
@@ -136,15 +138,19 @@ def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h,
         lvs = G.leaves(node)
         n_e = G.leaf_normal(lvs[0], tables, p)
         babs = G.boundary_abs(lvs[0], tables, p)
-        u_e, v_e = G.leaf_uv(lvs[0], tables, p, static.dim)
+        if need_uv:
+            u_e, v_e = G.leaf_uv(lvs[0], tables, p, static.dim)
+        else:
+            u_e = v_e = zero
         for leaf in lvs[1:]:
             b = G.boundary_abs(leaf, tables, p)
             take = b < babs
             babs = jnp.where(take, b, babs)
             n_e = V.where(take, G.leaf_normal(leaf, tables, p), n_e)
-            uu, vv = G.leaf_uv(leaf, tables, p, static.dim)
-            u_e = jnp.where(take, uu, u_e)
-            v_e = jnp.where(take, vv, v_e)
+            if need_uv:
+                uu, vv = G.leaf_uv(leaf, tables, p, static.dim)
+                u_e = jnp.where(take, uu, u_e)
+                v_e = jnp.where(take, vv, v_e)
         take = crossed[ei] & (lam < best_lam)
         best_lam = jnp.where(take, lam, best_lam)
         best_p = V.where(take, p, best_p)

@@ -98,8 +98,10 @@ def nearest_hit_straight(static, tables, org: Vec, d: Vec):
     u = zf
     v = zf
     for ei, e in enumerate(static.entities):
+        need_uv = (static.surf_need_uv[e.surface]
+                   if static.surf_need_uv else True)
         t_e, hit_e, n_e, u_e, v_e = G.entity_hit_straight(
-            e.shape, tables, org, d, static.dim, static.t_max)
+            e.shape, tables, org, d, static.dim, static.t_max, need_uv)
         take = hit_e & (t_e < best_t)
         best_t = jnp.where(take, t_e, best_t)
         hit = hit | take
@@ -152,8 +154,13 @@ def read_slot(slots, idx):
     return out
 
 
-def write_slot(slots, idx, mask, val):
+def write_slot(slots, idx, mask, val, kmax=None):
+    """Masked write of ``val`` into slot ``idx``; ``kmax`` statically bounds
+    which slots can be targeted (e.g. the peeled first node can only write
+    slots 0 and 1), eliding dead select chains."""
+    kmax = len(slots) if kmax is None else min(kmax, len(slots))
     return tuple(_slot_where(mask & (idx == k), val, slots[k])
+                 if k < kmax else slots[k]
                  for k in range(len(slots)))
 
 
@@ -161,78 +168,58 @@ def write_slot(slots, idx, mask, val):
 # the trace loop
 # ---------------------------------------------------------------------------
 
-def trace_batch(static, tables, org0: Vec, d0: Vec,
-                differentiable: bool = False):
-    """Trace a batch of primary rays; returns (r, g, b) arrays shaped like
-    org0.x.
+def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
+                differentiable, used_surfs, do_transmit, do_reflect,
+                depth_ge2):
+    """Shade one DFS node: propagate to the nearest boundary, accumulate the
+    local color term, and emit up to two deferred branches.
 
-    With ``differentiable=True`` the bounce loop runs a static
-    ``max_nodes``-trip fori_loop (reverse-mode differentiable; masked
-    iterations are no-ops) instead of an early-exiting while_loop — same
-    semantics, needed because lax.while_loop has no reverse-mode rule.
+    Returns (dr, dg, db, branches) with branches a list of
+    (push_mask, (org, dir, weight, material, depth)) — transmission first,
+    then reflection, matching the reference's recursion order (SURVEY §3.3).
+    ``depth_ge2`` is None when depth >= 2 is statically known (the peeled
+    primary node), else the per-ray boolean.
     """
     ents = static.entities
-    D = static.max_depth
-    S = D + 1
-    bshape = jnp.shape(org0.x)
+    bshape = jnp.shape(org.x)
     zf = jnp.zeros(bshape, jnp.float32)
-    zi = jnp.zeros(bshape, jnp.int32)
-    zvec = Vec(zf, zf, zf, zf)
 
-    empty = (zvec, zvec, zf, zi, zi)
-    primary = (org0, d0, jnp.ones(bshape, jnp.float32),
-               jnp.full(bshape, static.ambient, jnp.int32),
-               jnp.full(bshape, D, jnp.int32))
-    slots = tuple([primary] + [empty] * (S - 1))
-    sp = jnp.ones(bshape, jnp.int32)
-    it0 = jnp.int32(0)
+    hit, p, dout, ent, n, u, v = propagate(static, tables, org, d, mat,
+                                           differentiable)
+    hit = hit & active
+    miss = active & ~hit
 
-    used_surfs = sorted({e.surface for e in ents})
+    bg = tables.background
+    dr = jnp.where(miss, wgt * bg[0], 0.0)
+    dg = jnp.where(miss, wgt * bg[1], 0.0)
+    db = jnp.where(miss, wgt * bg[2], 0.0)
 
-    def cond(carry):
-        sp, it, _, _, _, _ = carry
-        return (it < static.max_nodes) & jnp.any(sp > 0)
+    # orient the geometric normal against the incoming direction
+    flip = V.dot(n, dout) > 0.0
+    n = V.where(flip, V.scale(n, -1.0), n)
 
-    def body(carry):
-        sp, it, ar, ag, ab, slots = carry
-        active = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        org, d, wgt, mat, depth = read_slot(slots, top)
-        sp = jnp.where(active, sp - 1, sp)
+    # surface color / reflectivity of the winning entity
+    cols = {s: shading.eval_surface(static, tables, s, u, v)
+            for s in used_surfs}
+    cr, cg, cb, ca, refl = zf, zf, zf, jnp.ones(bshape, jnp.float32), zf
+    for ei, e in enumerate(ents):
+        sel = ent == ei
+        c = cols[e.surface]
+        cr = jnp.where(sel, c[0], cr)
+        cg = jnp.where(sel, c[1], cg)
+        cb = jnp.where(sel, c[2], cb)
+        ca = jnp.where(sel, c[3], ca)
+        refl = jnp.where(sel, tables.surf_refl[e.surface], refl)
 
-        hit, p, dout, ent, n, u, v = propagate(static, tables, org, d, mat,
-                                               differentiable)
-        hit = hit & active
-        miss = active & ~hit
+    # local emitted term: weight * (1-ratio) * alpha * surface_color
+    lw = wgt * (1.0 - refl) * ca
+    dr = dr + jnp.where(hit, lw * cr, 0.0)
+    dg = dg + jnp.where(hit, lw * cg, 0.0)
+    db = db + jnp.where(hit, lw * cb, 0.0)
 
-        bg = tables.background
-        ar = ar + jnp.where(miss, wgt * bg[0], 0.0)
-        ag = ag + jnp.where(miss, wgt * bg[1], 0.0)
-        ab = ab + jnp.where(miss, wgt * bg[2], 0.0)
+    branches = []
 
-        # orient the geometric normal against the incoming direction
-        flip = V.dot(n, dout) > 0.0
-        n = V.where(flip, V.scale(n, -1.0), n)
-
-        # surface color / reflectivity of the winning entity
-        cols = {s: shading.eval_surface(static, tables, s, u, v)
-                for s in used_surfs}
-        cr, cg, cb, ca, refl = zf, zf, zf, jnp.ones(bshape, jnp.float32), zf
-        for ei, e in enumerate(ents):
-            sel = ent == ei
-            c = cols[e.surface]
-            cr = jnp.where(sel, c[0], cr)
-            cg = jnp.where(sel, c[1], cg)
-            cb = jnp.where(sel, c[2], cb)
-            ca = jnp.where(sel, c[3], ca)
-            refl = jnp.where(sel, tables.surf_refl[e.surface], refl)
-
-        # local emitted term: weight * (1-ratio) * alpha * surface_color
-        lw = wgt * (1.0 - refl) * ca
-        ar = ar + jnp.where(hit, lw * cr, 0.0)
-        ag = ag + jnp.where(hit, lw * cg, 0.0)
-        ab = ab + jnp.where(hit, lw * cb, 0.0)
-
+    if do_transmit:
         # --- transmission branch (translucent surfaces; SURVEY §3.3/3.4) ---
         p_past = V.madd(p, PUSH, dout)
         m_to = material_at(static, tables, p_past)
@@ -259,25 +246,105 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
                               material_at(static, tables, t_org), t_mat)
 
         w_t = wgt * (1.0 - refl) * (1.0 - ca)
-        push_t = hit & tok & (w_t > W_EPS) & (depth >= 2)
-        slots = write_slot(slots, sp, push_t,
-                           (t_org, tdir, w_t, t_mat, depth - 1))
-        sp = sp + push_t.astype(jnp.int32)
+        push_t = hit & tok & (w_t > W_EPS)
+        if depth_ge2 is not None:
+            push_t = push_t & depth_ge2
+        branches.append((push_t, (t_org, tdir, w_t, t_mat, depth - 1)))
 
+    if do_reflect:
         # --- reflection branch -------------------------------------------
         rdir = V.reflect(dout, n)
         r_org = V.madd(p, PUSH, rdir)
         w_r = wgt * refl
-        push_r = hit & (w_r > W_EPS) & (depth >= 2)
-        slots = write_slot(slots, sp, push_r,
-                           (r_org, rdir, w_r, mat, depth - 1))
-        sp = sp + push_r.astype(jnp.int32)
+        push_r = hit & (w_r > W_EPS)
+        if depth_ge2 is not None:
+            push_r = push_r & depth_ge2
+        branches.append((push_r, (r_org, rdir, w_r, mat, depth - 1)))
+
+    return dr, dg, db, branches
+
+
+def trace_batch(static, tables, org0: Vec, d0: Vec,
+                differentiable: bool = False):
+    """Trace a batch of primary rays; returns (r, g, b) arrays shaped like
+    org0.x.
+
+    With ``differentiable=True`` the bounce loop runs a static
+    ``max_nodes``-trip fori_loop (reverse-mode differentiable; masked
+    iterations are no-ops) instead of an early-exiting while_loop — same
+    semantics, needed because lax.while_loop has no reverse-mode rule.
+
+    The primary node is peeled out of the loop (its stack state is known),
+    and statically-dead branches are pruned: depth-1 scenes can never push,
+    and — in the non-differentiable path only — scenes whose IR surfaces are
+    all exactly opaque (alpha == 1, no portals) skip the transmission
+    machinery, all-matte scenes (reflectivity == 0) the reflection push.
+    Both prunings are value-exact: the elided branches have weight exactly 0.
+    """
+    ents = static.entities
+    D = static.max_depth
+    S = D + 1
+    bshape = jnp.shape(org0.x)
+    zf = jnp.zeros(bshape, jnp.float32)
+    zi = jnp.zeros(bshape, jnp.int32)
+    zvec = Vec(zf, zf, zf, zf)
+
+    used_surfs = sorted({e.surface for e in ents})
+
+    prune = not differentiable
+    sa1 = static.surf_alpha1 or (False,) * len(static.surf_kinds)
+    sr0 = static.surf_refl0 or (False,) * len(static.surf_kinds)
+    any_transmit = any((e.portal is not None) or not sa1[e.surface]
+                       for e in ents)
+    any_reflect = any(not sr0[e.surface] for e in ents)
+    do_transmit = D >= 2 and (any_transmit or not prune)
+    do_reflect = D >= 2 and (any_reflect or not prune)
+
+    # --- peeled primary node (stack state statically known) ---------------
+    ar, ag, ab, branches = _shade_node(
+        static, tables, org0, d0, jnp.ones(bshape, jnp.float32),
+        jnp.full(bshape, static.ambient, jnp.int32),
+        jnp.full(bshape, jnp.int32(D)), jnp.ones(bshape, bool),
+        differentiable, used_surfs, do_transmit, do_reflect,
+        depth_ge2=None)
+
+    if not branches:
+        return ar, ag, ab
+
+    empty = (zvec, zvec, zf, zi, zi)
+    slots = tuple(empty for _ in range(S))
+    sp = zi
+    for k, (mask, val) in enumerate(branches):
+        slots = write_slot(slots, sp, mask, val, kmax=k + 1)
+        sp = sp + mask.astype(jnp.int32)
+    it0 = jnp.int32(0)
+
+    def cond(carry):
+        sp, it, _, _, _, _ = carry
+        return (it < static.max_nodes - 1) & jnp.any(sp > 0)
+
+    def body(carry):
+        sp, it, ar, ag, ab, slots = carry
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        org, d, wgt, mat, depth = read_slot(slots, top)
+        sp = jnp.where(active, sp - 1, sp)
+
+        dr, dg, db, branches = _shade_node(
+            static, tables, org, d, wgt, mat, depth, active,
+            differentiable, used_surfs, do_transmit, do_reflect,
+            depth_ge2=(depth >= 2))
+        ar, ag, ab = ar + dr, ag + dg, ab + db
+
+        for mask, val in branches:
+            slots = write_slot(slots, sp, mask, val)
+            sp = sp + mask.astype(jnp.int32)
 
         return (sp, it + 1, ar, ag, ab, slots)
 
-    carry = (sp, it0, zf, zf, zf, slots)
+    carry = (sp, it0, ar, ag, ab, slots)
     if differentiable:
-        carry = jax.lax.fori_loop(0, static.max_nodes,
+        carry = jax.lax.fori_loop(0, static.max_nodes - 1,
                                   lambda _, c: body(c), carry)
     else:
         carry = jax.lax.while_loop(cond, body, carry)

@@ -48,6 +48,17 @@ class SceneStatic:
     march_steps: int
     max_nodes: int
     name: str = ""
+    # Static-specialisation hints, derived from the IR's literal values.
+    # They gate dead-branch elision in the *non-differentiable* forward
+    # path only (ops/trace.py): a surface whose IR alpha is exactly 1 can
+    # never spawn a transmission ray, and one with reflectivity exactly 0
+    # can never spawn a reflection ray, so the whole branch (including the
+    # stack write) is dropped from the compiled program.  The
+    # differentiable path ignores the hints so gradients w.r.t. alpha /
+    # reflectivity stay exact even at the pruning point.
+    surf_alpha1: Tuple[bool, ...] = ()   # alpha statically == 1
+    surf_refl0: Tuple[bool, ...] = ()    # reflectivity statically == 0
+    surf_need_uv: Tuple[bool, ...] = ()  # color depends on the UV coords
 
     @property
     def has_warp(self) -> bool:
@@ -183,6 +194,21 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
     st = scene.settings
     max_nodes = st.max_nodes or min(2 ** (st.max_depth + 1) - 1, 63)
 
+    def _alpha1(s: ir.Surface) -> bool:
+        if isinstance(s, ir.UniformSurface):
+            return s.color[3] == 1.0
+        if isinstance(s, (ir.CheckerSurface, ir.SmoothSurface)):
+            return s.color[3] == 1.0 and s.color2[3] == 1.0
+        if isinstance(s, ir.TextureSurface):
+            return s.alpha == 1.0
+        return False
+
+    def _refl0(s: ir.Surface) -> bool:
+        return getattr(s, "reflectivity", 1.0) == 0.0
+
+    def _need_uv(s: ir.Surface) -> bool:
+        return not isinstance(s, ir.UniformSurface)
+
     static = SceneStatic(
         dim=scene.dim,
         entities=tuple(ents),
@@ -197,6 +223,9 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
         march_steps=st.march_steps,
         max_nodes=max_nodes,
         name=scene.name,
+        surf_alpha1=tuple(_alpha1(s) for s in surfaces),
+        surf_refl0=tuple(_refl0(s) for s in surfaces),
+        surf_need_uv=tuple(_need_uv(s) for s in surfaces),
     )
 
     M, U, P = len(materials), len(surfaces), len(portals)

@@ -1,0 +1,79 @@
+"""Perf probe: in-program frame loop per scene / tile size.
+
+Times the Pallas megakernel with N frames rendered inside ONE jitted
+lax.fori_loop (each frame perturbs tan_half_fov so nothing is CSE'd away,
+and each frame's sum feeds the carry so every render must execute).  This
+measures pure device throughput — per-dispatch tunnel latency is paid once
+and amortised, unlike timing N separate dispatches.
+
+Usage:  python tools/perfprobe.py [--scenes s1,s2] [--tiles 16x128,32x256]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import euclider_tpu as et
+from euclider_tpu.ops.pallas_kernel import render_image_pallas
+
+H, W = 720, 1280
+N = 30
+
+
+def time_scene(name: str, tile, n=N) -> float:
+    sc = et.get_scene(name)
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    base = float(cam.tan_half_fov)
+
+    @jax.jit
+    def loop():
+        def body(i, acc):
+            tf = jnp.float32(base) * (1.0 + 1e-6 * i.astype(jnp.float32))
+            img = render_image_pallas(static, tables,
+                                      cam._replace(tan_half_fov=tf), H, W,
+                                      tile)
+            return acc + img[::97, ::97].sum()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    t0 = time.time()
+    v = float(loop())
+    t_first = time.time() - t0
+    t0 = time.perf_counter()
+    v = float(loop())
+    dt = (time.perf_counter() - t0) / n
+    assert np.isfinite(v), v
+    mrays = H * W / dt / 1e6
+    print(f"{name:28s} tile={tile}  {dt*1e3:7.3f} ms/frame  "
+          f"{mrays:8.1f} Mrays/s   (first call {t_first:.1f}s)",
+          file=sys.stderr, flush=True)
+    return mrays
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", default="config1_sphere_room")
+    ap.add_argument("--tiles", default="16x128")
+    ap.add_argument("--frames", type=int, default=N)
+    args = ap.parse_args()
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    tiles = [tuple(int(v) for v in t.split("x"))
+             for t in args.tiles.split(",")]
+    for name in args.scenes.split(","):
+        for tile in tiles:
+            time_scene(name, tile, args.frames)
+
+
+if __name__ == "__main__":
+    main()
