@@ -24,7 +24,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 H, W = 720, 1280
 SCENE = "config1_sphere_room"
 TARGET_MRAYS = 50.0
-WARMUP = 5
+TILE = (32, 256)   # best of the tile sweep on v5e (tools/perfprobe.py)
 ITERS = 50
 
 
@@ -58,25 +58,32 @@ def main() -> int:
         from euclider_tpu.ops.pallas_kernel import render_image_pallas
 
         t0 = time.time()
-        img = np.asarray(render_image_pallas(static, tables, cam, H, W))
+        img = np.asarray(render_image_pallas(static, tables, cam, H, W, TILE))
         log(f"pallas compile+first run: {time.time()-t0:.1f}s")
-        render_ = lambda c: render_image_pallas(static, tables, c, H, W)
+        render_ = lambda c: render_image_pallas(static, tables, c, H, W, TILE)
     except Exception as e:  # pragma: no cover
         log(f"pallas failed ({type(e).__name__}: {e}); falling back to lax")
         backend = "lax"
         render_ = lambda c: et.render_image_jit(static, tables, cam, H, W)
         img = np.asarray(render_(cam))
 
-    # chained-sum timing: on this platform block_until_ready does not
-    # reliably force remote execution, so each frame's sum feeds an
-    # accumulator and only the final scalar is materialised — every render
-    # must actually execute, and per-frame host sync is excluded
+    # in-program frame loop: ITERS frames rendered inside ONE jitted
+    # fori_loop (each perturbs tan_half_fov so no frame is CSE'd away, and
+    # each frame's subsampled sum feeds the carry so every render must
+    # execute).  This measures pure device throughput — the per-dispatch
+    # RPC latency of the tunneled platform is paid once and amortised,
+    # instead of once per frame.
     import jax
 
+    base = float(cam.tan_half_fov)
+
     @jax.jit
-    def frame_sum(tanf):
-        im = render_(cam._replace(tan_half_fov=tanf))
-        return im.sum()
+    def frame_loop():
+        def body(i, acc):
+            tf = jnp.float32(base) * (1.0 + 1e-6 * i.astype(jnp.float32))
+            im = render_(cam._replace(tan_half_fov=tf))
+            return acc + im[::97, ::97].sum()
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
     if np.isnan(img).any():
         log("ERROR: NaNs in rendered frame")
@@ -102,18 +109,14 @@ def main() -> int:
     except Exception as e:
         log(f"oracle check skipped: {type(e).__name__}: {e}")
 
-    base = float(cam.tan_half_fov)
-    for i in range(WARMUP):
-        float(frame_sum(jnp.float32(base * (1 + 1e-6 * i))))
-    tanfs = [jnp.float32(base * (1 + 1e-5 * i)) for i in range(ITERS)]
+    v = float(frame_loop())  # compile + warm
+    assert np.isfinite(v), v
     t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    for tf in tanfs:
-        acc = acc + frame_sum(tf)
-    float(acc)  # force the whole chain
+    v = float(frame_loop())
     dt = (time.perf_counter() - t0) / ITERS
     mrays = H * W / dt / 1e6
-    log(f"backend={backend} {dt*1000:.2f} ms/frame (chained)")
+    log(f"backend={backend} {dt*1000:.2f} ms/frame "
+        f"({ITERS}-frame in-program loop)")
 
     print(json.dumps({
         "metric": f"Mrays/s/chip ({SCENE} {W}x{H}, {backend})",
