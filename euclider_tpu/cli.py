@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force the CPU backend for JAX")
     p.add_argument("--time", action="store_true",
                    help="print render timing and Mrays/s")
+    p.add_argument("--view", action="store_true",
+                   help="interactive terminal viewer (ANSI half-blocks; "
+                        "wasdqe move, jl/ik/uo look, nm/,. 4D, x quit)")
+    p.add_argument("--view-frames", type=int, default=None,
+                   help="with --view: stop after N frames (scripted runs)")
     return p
 
 
@@ -76,9 +81,33 @@ def render(scene, H, W, backend: str):
 
 def save_png(img, path: str) -> None:
     import numpy as np
-    from PIL import Image
-    Image.fromarray(
-        (np.clip(img, 0.0, 1.0) * 255).astype("uint8")).save(path)
+    arr = (np.clip(img, 0.0, 1.0) * 255).astype("uint8")
+    try:
+        from PIL import Image
+        Image.fromarray(arr).save(path)
+    except ImportError:       # stdlib fallback: minimal RGB8 PNG encoder
+        _write_png_stdlib(arr, path)
+
+
+def _write_png_stdlib(arr, path: str) -> None:
+    """Zero-dependency PNG writer (8-bit RGB, no filtering)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+
+    def chunk(tag, data):
+        raw = tag + data
+        return (struct.pack(">I", len(data)) + raw
+                + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(rows, 6)))
+        f.write(chunk(b"IEND", b""))
 
 
 def main(argv=None) -> int:
@@ -100,6 +129,15 @@ def main(argv=None) -> int:
         from dataclasses import replace
         scene = replace(scene, settings=replace(scene.settings,
                                                 max_depth=args.depth))
+
+    if args.view:
+        from .viewer.simulation import Simulation
+        from .viewer.terminal import run_interactive
+        sim = Simulation(scene, H, W, backend=args.backend)
+        n = run_interactive(sim, max_frames=args.view_frames)
+        print(f"viewed {n} frames at {sim.fps:.1f} fps "
+              f"({W}x{H}, backend={args.backend})")
+        return 0
 
     if args.animate:
         from .viewer.simulation import render_orbit

@@ -26,10 +26,12 @@ PROBE = 2e-4      # CSG membership probe offset around a candidate crossing
 
 # Node grammar (from scene/compile.py):
 #   ('sphere', row) | ('hyperplane', row) | ('halfspace', row)
+#   | ('cylinder', row)            # two rows: [row]=center (+radius in sc),
+#                                  #           [row+1]=unit axis
 #   | (op, (child, ...)) with op in
 #     {'union','intersection','difference','symdiff','complement'}
 
-PRIMS = ("sphere", "hyperplane", "halfspace")
+PRIMS = ("sphere", "hyperplane", "halfspace", "cylinder")
 
 
 def is_primitive(node) -> bool:
@@ -55,6 +57,14 @@ def row_vec(tables, row: int) -> Vec:
 # membership / side predicates
 # ---------------------------------------------------------------------------
 
+def _cyl_radial(tables, row: int, p: Vec) -> Vec:
+    """Component of (p - center) perpendicular to the cylinder axis."""
+    c = row_vec(tables, row)
+    a = row_vec(tables, row + 1)
+    pc = V.sub(p, c)
+    return V.madd(pc, -V.dot(pc, a), a)
+
+
 def member(node, tables, p: Vec):
     """Is point p inside the (volumetric) shape?  Hyperplanes are measure-zero
     and never contain points (reference Shape::is_point_inside)."""
@@ -69,6 +79,9 @@ def member(node, tables, p: Vec):
         n = row_vec(tables, node[1])
         c = tables.shape_sc[node[1]]
         return V.dot(n, p) < c
+    if kind == "cylinder":
+        r = tables.shape_sc[node[1]]
+        return V.norm2(_cyl_radial(tables, node[1], p)) < r * r
     ms = [member(ch, tables, p) for ch in node[1]]
     if kind == "union":
         out = ms[0]
@@ -111,6 +124,9 @@ def boundary_abs(leaf, tables, p: Vec):
         c = row_vec(tables, row)
         r = tables.shape_sc[row]
         return jnp.abs(V.norm(V.sub(p, c)) - r)
+    if kind == "cylinder":
+        r = tables.shape_sc[row]
+        return jnp.abs(V.norm(_cyl_radial(tables, row, p)) - r)
     n = row_vec(tables, row)
     c = tables.shape_sc[row]
     return jnp.abs(V.dot(n, p) - c)
@@ -139,6 +155,23 @@ def leaf_crossings(leaf, tables, org: Vec, d: Vec):
         # reverse-mode grads of rays that miss the sphere
         s = jnp.sqrt(jnp.where(ok, disc, 1.0))
         return [(-b - s, ok), (-b + s, ok)]
+    if kind == "cylinder":
+        # |q + t w|^2 = r^2 with q, w the radial parts of (o-c), d
+        c = row_vec(tables, row)
+        a = row_vec(tables, row + 1)
+        r = tables.shape_sc[row]
+        oc = V.sub(org, c)
+        q = V.madd(oc, -V.dot(oc, a), a)
+        w = V.madd(d, -V.dot(d, a), a)
+        w2 = V.norm2(w)
+        para = w2 < 1e-12                  # ray parallel to the axis
+        w2s = jnp.where(para, 1.0, w2)
+        b = V.dot(q, w) / w2s
+        cc = (V.norm2(q) - r * r) / w2s
+        disc = b * b - cc
+        ok = (disc > 0.0) & ~para
+        s = jnp.sqrt(jnp.where(ok, disc, 1.0))
+        return [(-b - s, ok), (-b + s, ok)]
     # hyperplane / halfspace boundary: n·(o + t d) = c
     n = row_vec(tables, row)
     c = tables.shape_sc[row]
@@ -154,6 +187,8 @@ def leaf_normal(leaf, tables, p: Vec) -> Vec:
     if kind == "sphere":
         c = row_vec(tables, row)
         return V.normalize(V.sub(p, c))
+    if kind == "cylinder":
+        return V.normalize(_cyl_radial(tables, row, p))
     return row_vec(tables, row)  # unit normal (normalised at compile time)
 
 
@@ -225,6 +260,20 @@ def leaf_uv(leaf, tables, p: Vec, dim: int):
                       -1.0 + 1e-6, 1.0 - 1e-6)
         v = mathx.acos(cz) / jnp.pi
         return u, v
+    if kind == "cylinder":
+        # u: angle around the axis in its deterministic tangent frame;
+        # v: axial coordinate.  Same atan2 pole guard as the sphere.
+        c = row_vec(tables, row)
+        a = row_vec(tables, row + 1)
+        pc = V.sub(p, c)
+        ax = V.dot(pc, a)
+        q = V.madd(pc, -ax, a)
+        t1, t2 = plane_tangent_frame(a, dim)
+        qx = V.dot(q, t1)
+        qy = V.dot(q, t2)
+        safe_x = jnp.where((jnp.abs(qx) + jnp.abs(qy)) < 1e-12, 1.0, qx)
+        u = mathx.atan2(qy, safe_x) * (0.5 / jnp.pi) + 0.5
+        return u, ax
     n = row_vec(tables, row)
     t1, t2 = plane_tangent_frame(n, dim)
     return V.dot(p, t1), V.dot(p, t2)

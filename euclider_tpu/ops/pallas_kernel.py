@@ -43,9 +43,17 @@ def _pack_camera(cam: CameraParams) -> jnp.ndarray:
     return row.reshape(1, 24)
 
 
+N_FIXED_VIEWS = 14  # non-texture table operands in _table_views
+
+
 # table fields passed to the kernel, as (name, to_2d, from_2d) transforms
 def _table_views(tables: SceneTables):
-    """2D views of every table array (Mosaic wants >=2D operands)."""
+    """2D views of every table array (Mosaic wants >=2D operands).
+
+    Textures ride along after the fixed views, each packed into the
+    channel-stacked transpose [tw*3, th] the matmul sampler consumes
+    (shading.pack_texture_matmul) — plain 2D VMEM blocks, no gathers.
+    """
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     return [
         f32(tables.shape_vec),                       # [S, 4]
@@ -57,15 +65,25 @@ def _table_views(tables: SceneTables):
         f32(tables.surf_color),                      # [U, 4]
         f32(tables.surf_color2),
         f32(tables.surf_refl).reshape(-1, 1),
+        f32(tables.surf_fresnel).reshape(-1, 1),
         f32(tables.surf_uv_scale).reshape(-1, 1),
         f32(tables.portal_lin).reshape(-1, 16),      # [P, 16]
         f32(tables.portal_tr),                       # [P, 4]
         f32(tables.background).reshape(1, 3),
-    ]
+    ] + [_pack_tex(t) for t in tables.textures]
+
+
+def _pack_tex(t):
+    """[th, tw, 3] -> packed [tw*3, th] (works on traced arrays too)."""
+    t = jnp.asarray(t, jnp.float32)
+    th, tw = t.shape[0], t.shape[1]
+    return jnp.concatenate([t[:, :, c].T for c in range(3)], axis=0)
 
 
 def _unpack_tables(refs) -> SceneTables:
-    (sv, sc, ior, wc, ws, wh, col, col2, refl, uvs, plin, ptr, bg) = refs
+    (sv, sc, ior, wc, ws, wh, col, col2, refl, fres, uvs, plin, ptr, bg
+     ) = refs[:N_FIXED_VIEWS]
+    textures = tuple(r[:] for r in refs[N_FIXED_VIEWS:])
     return SceneTables(
         shape_vec=sv[:],
         shape_sc=sc[:][:, 0],
@@ -76,11 +94,12 @@ def _unpack_tables(refs) -> SceneTables:
         surf_color=col[:],
         surf_color2=col2[:],
         surf_refl=refl[:][:, 0],
+        surf_fresnel=fres[:][:, 0],
         surf_uv_scale=uvs[:][:, 0],
         portal_lin=plin[:].reshape(-1, 4, 4),
         portal_tr=ptr[:],
         background=bg[:][0],
-        textures=(),
+        textures=textures,   # packed [tw*3, th] — texture_matmul layout
     )
 
 
@@ -103,7 +122,8 @@ def _kernel(static, H, W, TH, TW, loop, cam_ref, *refs):
 
     org, d = T.camera_rays(cam, xi, yi, W, H)
     r, g, b = T.trace_batch(static, tables, org, d,
-                            differentiable=(loop == "fori"))
+                            differentiable=(loop == "fori"),
+                            texture_matmul=True)
     out_ref[0, :, :] = r
     out_ref[1, :, :] = g
     out_ref[2, :, :] = b
@@ -124,9 +144,6 @@ def render_image_pallas(static, tables, cam, H: int, W: int,
     when every ray's stack drains; 'fori' runs the static max_nodes trips
     (used by the differentiable path).
     """
-    if any(k == "texture" for k in static.surf_kinds):
-        raise NotImplementedError(
-            "texture surfaces need per-lane gathers; use the lax backend")
     TH, TW = tile
     Hp, Wp = _cdiv(H, TH) * TH, _cdiv(W, TW) * TW
     views = _table_views(tables)

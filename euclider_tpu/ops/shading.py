@@ -10,13 +10,69 @@ transitions, and the void background.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def eval_surface(static, tables, s: int, u, v):
+def pack_texture_matmul(tex: np.ndarray) -> np.ndarray:
+    """Pack a [th, tw, 3] texture into the channel-stacked transpose
+    [tw*3, th] consumed by the matmul sampler (texT[c*tw + x, y] =
+    tex[y, x, c]).  Used to ship textures into Pallas kernels as plain 2D
+    VMEM blocks."""
+    tex = np.asarray(tex, np.float32)
+    th, tw = tex.shape[0], tex.shape[1]
+    return np.concatenate([tex[:, :, c].T for c in range(3)],
+                          axis=0).reshape(tw * 3, th)
+
+
+def _sample_bilinear_matmul(texT, fu, fv, th: int, tw: int):
+    """Bilinear texture lookup with NO gathers — TPU/Mosaic-native.
+
+    The interpolation weights along each texture axis form a 'hat' matrix
+    (max(0, 1-|coord - index|)): contracting the texture with the row-hat is
+    a small MXU matmul, and the column-hat contraction is a VPU
+    multiply + sublane reduction.  Runs row-by-row over the pixel tile so
+    pixels stay on the lane axis throughout (Mosaic supports neither
+    pixel-flattening reshapes nor vector gathers — probed empirically on
+    v5e).  Exactly equals the gather-based bilinear filter (same clamped
+    edge semantics: fu,fv in [0, tw-1]x[0, th-1]).
+
+    texT: [tw*3, th] packed texture (pack_texture_matmul).
+    fu, fv: [TH, TW] texel-space coordinates.
+    Returns (r, g, b) arrays of shape [TH, TW].
+    """
+    TH, TW = fu.shape
+    riota = jax.lax.broadcasted_iota(jnp.int32, (th, TW), 0).astype(texT.dtype)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (tw, TW), 0).astype(texT.dtype)
+    rowmask = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+    out = [jnp.zeros((TH, TW), texT.dtype) for _ in range(3)]
+    for i in range(TH):
+        fvi = jax.lax.slice(fv, (i, 0), (i + 1, TW))          # [1, TW]
+        fui = jax.lax.slice(fu, (i, 0), (i + 1, TW))
+        rowhat = jnp.maximum(0.0, 1.0 - jnp.abs(fvi - riota))  # [th, TW]
+        # HIGHEST precision: the MXU's default bf16 input truncation costs
+        # ~3e-3 absolute error on fractional hat weights (measured on v5e);
+        # full-f32 passes are cheap at this size and restore parity with
+        # the gather-based filter
+        D = jnp.dot(texT, rowhat,
+                    preferred_element_type=texT.dtype,
+                    precision=jax.lax.Precision.HIGHEST)       # [tw*3, TW]
+        colhat = jnp.maximum(0.0, 1.0 - jnp.abs(fui - ciota))  # [tw, TW]
+        sel = rowmask == i
+        for c in range(3):
+            Dc = jax.lax.slice(D, (c * tw, 0), ((c + 1) * tw, TW))
+            oc = jnp.sum(colhat * Dc, axis=0, keepdims=True)   # [1, TW]
+            out[c] = jnp.where(sel, oc, out[c])
+    return out[0], out[1], out[2]
+
+
+def eval_surface(static, tables, s: int, u, v, texture_matmul: bool = False):
     """Evaluate surface index ``s`` (static) at batched UV.
 
-    Returns (r, g, b, a) batched arrays.
+    Returns (r, g, b, a) batched arrays.  ``texture_matmul=True`` selects the
+    gather-free matmul sampler (Pallas kernels); tables.textures must then
+    hold pack_texture_matmul layouts ([tw*3, th]) instead of [th, tw, 3].
     """
     kind = static.surf_kinds[s]
     col = tables.surf_color[s]
@@ -41,12 +97,19 @@ def eval_surface(static, tables, s: int, u, v):
         col2 = tables.surf_color2[s]
         return tuple(col[c] + (col2[c] - col[c]) * f for c in range(4))
     if kind == "texture":
-        tex = tables.textures[static.surf_texture[s]]  # [th, tw, 3]
-        th, tw = tex.shape[0], tex.shape[1]
+        tex = tables.textures[static.surf_texture[s]]
+        if texture_matmul:                       # packed [tw*3, th]
+            th, tw = int(tex.shape[1]), int(tex.shape[0]) // 3
+        else:                                    # [th, tw, 3]
+            th, tw = tex.shape[0], tex.shape[1]
         sc = tables.surf_uv_scale[s]
         # wrap UV, bilinear filter
         fu = jnp.mod(u * sc, 1.0) * (tw - 1)
         fv = jnp.mod(v * sc, 1.0) * (th - 1)
+        if texture_matmul:
+            r, g, b = _sample_bilinear_matmul(tex, fu, fv, th, tw)
+            alpha = jnp.broadcast_to(col[3], jnp.shape(u))
+            return r, g, b, alpha
         x0 = jnp.floor(fu)
         y0 = jnp.floor(fv)
         dx = fu - x0

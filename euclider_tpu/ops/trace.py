@@ -170,7 +170,7 @@ def write_slot(slots, idx, mask, val, kmax=None):
 
 def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
                 differentiable, used_surfs, do_transmit, do_reflect,
-                depth_ge2):
+                depth_ge2, texture_matmul=False):
     """Shade one DFS node: propagate to the nearest boundary, accumulate the
     local color term, and emit up to two deferred branches.
 
@@ -199,9 +199,13 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
     n = V.where(flip, V.scale(n, -1.0), n)
 
     # surface color / reflectivity of the winning entity
-    cols = {s: shading.eval_surface(static, tables, s, u, v)
+    cols = {s: shading.eval_surface(static, tables, s, u, v, texture_matmul)
             for s in used_surfs}
     cr, cg, cb, ca, refl = zf, zf, zf, jnp.ones(bshape, jnp.float32), zf
+    fres = zf
+    any_fres = any(not (static.surf_fres0 or (False,) * len(
+        static.surf_kinds))[e.surface] for e in ents) if not differentiable \
+        else True
     for ei, e in enumerate(ents):
         sel = ent == ei
         c = cols[e.surface]
@@ -210,6 +214,19 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
         cb = jnp.where(sel, c[2], cb)
         ca = jnp.where(sel, c[3], ca)
         refl = jnp.where(sel, tables.surf_refl[e.surface], refl)
+        if any_fres:
+            fres = jnp.where(sel, tables.surf_fresnel[e.surface], fres)
+
+    if any_fres:
+        # get_reflection_ratio with a Schlick fresnel term (reference's
+        # composable reflection-ratio closures, SURVEY §2.1 Surfaces):
+        # ratio = rho + (1-rho) * fresnel * (1 - cos_i)^5, cos_i against
+        # the oriented normal.  fresnel == 0 reproduces the constant ratio
+        # exactly (the static surf_fres0 hint elides this block then).
+        cos_i = jnp.clip(-V.dot(dout, n), 0.0, 1.0)
+        m1 = 1.0 - cos_i
+        m2 = m1 * m1
+        refl = refl + (1.0 - refl) * fres * (m2 * m2 * m1)
 
     # local emitted term: weight * (1-ratio) * alpha * surface_color
     lw = wgt * (1.0 - refl) * ca
@@ -265,7 +282,7 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
 
 
 def trace_batch(static, tables, org0: Vec, d0: Vec,
-                differentiable: bool = False):
+                differentiable: bool = False, texture_matmul: bool = False):
     """Trace a batch of primary rays; returns (r, g, b) arrays shaped like
     org0.x.
 
@@ -306,7 +323,7 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
         jnp.full(bshape, static.ambient, jnp.int32),
         jnp.full(bshape, jnp.int32(D)), jnp.ones(bshape, bool),
         differentiable, used_surfs, do_transmit, do_reflect,
-        depth_ge2=None)
+        depth_ge2=None, texture_matmul=texture_matmul)
 
     if not branches:
         return ar, ag, ab
@@ -333,7 +350,7 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
         dr, dg, db, branches = _shade_node(
             static, tables, org, d, wgt, mat, depth, active,
             differentiable, used_surfs, do_transmit, do_reflect,
-            depth_ge2=(depth >= 2))
+            depth_ge2=(depth >= 2), texture_matmul=texture_matmul)
         ar, ag, ab = ar + dr, ag + dg, ab + db
 
         for mask, val in branches:

@@ -21,7 +21,7 @@ PUSH = 1e-3
 W_EPS = 1e-4
 BISECT_ITERS = 10
 
-_PRIMS = ("sphere", "hyperplane", "halfspace")
+_PRIMS = ("sphere", "hyperplane", "halfspace", "cylinder")
 
 
 class Oracle:
@@ -37,6 +37,7 @@ class Oracle:
         self.surf_color = np.asarray(tables.surf_color, np.float64)
         self.surf_color2 = np.asarray(tables.surf_color2, np.float64)
         self.surf_refl = np.asarray(tables.surf_refl, np.float64)
+        self.surf_fres = np.asarray(tables.surf_fresnel, np.float64)
         self.surf_uvs = np.asarray(tables.surf_uv_scale, np.float64)
         self.portal_lin = np.asarray(tables.portal_lin, np.float64)
         self.portal_tr = np.asarray(tables.portal_tr, np.float64)
@@ -56,6 +57,9 @@ class Oracle:
         if kind == "halfspace":
             row = node[1]
             return float(np.dot(self.shape_vec[row], p)) < self.shape_sc[row]
+        if kind == "cylinder":
+            q = self._cyl_radial(node[1], p)
+            return float(np.dot(q, q)) < self.shape_sc[node[1]] ** 2
         ms = [self.member(c, p) for c in node[1]]
         if kind == "union":
             return any(ms)
@@ -71,6 +75,11 @@ class Oracle:
         if kind == "complement":
             return not ms[0]
         raise ValueError(kind)
+
+    def _cyl_radial(self, row, p):
+        pc = p - self.shape_vec[row]
+        a = self.shape_vec[row + 1]
+        return pc - np.dot(pc, a) * a
 
     def side(self, node, p):
         if node[0] == "hyperplane":
@@ -101,6 +110,23 @@ class Oracle:
                 return []
             s = np.sqrt(disc)
             return [-b - s, -b + s]
+        if kind == "cylinder":
+            c = self.shape_vec[row]
+            a = self.shape_vec[row + 1]
+            r = self.shape_sc[row]
+            oc = o - c
+            q = oc - np.dot(oc, a) * a
+            w = d - np.dot(d, a) * a
+            w2 = float(np.dot(w, w))
+            if w2 < 1e-12:
+                return []
+            b = float(np.dot(q, w)) / w2
+            cc = (float(np.dot(q, q)) - r * r) / w2
+            disc = b * b - cc
+            if disc <= 0.0:
+                return []
+            s = np.sqrt(disc)
+            return [-b - s, -b + s]
         n = self.shape_vec[row]
         c = self.shape_sc[row]
         nd = float(np.dot(n, d))
@@ -113,12 +139,18 @@ class Oracle:
         if kind == "sphere":
             v = p - self.shape_vec[row]
             return v / max(np.linalg.norm(v), 1e-20)
+        if kind == "cylinder":
+            q = self._cyl_radial(row, p)
+            return q / max(np.linalg.norm(q), 1e-20)
         return self.shape_vec[row].copy()
 
     def boundary_abs(self, leaf, p):
         kind, row = leaf
         if kind == "sphere":
             return abs(np.linalg.norm(p - self.shape_vec[row]) - self.shape_sc[row])
+        if kind == "cylinder":
+            return abs(np.linalg.norm(self._cyl_radial(row, p))
+                       - self.shape_sc[row])
         return abs(float(np.dot(self.shape_vec[row], p)) - self.shape_sc[row])
 
     def plane_tangent_frame(self, n):
@@ -149,6 +181,16 @@ class Oracle:
             cz = np.clip(loc[2] / max(rl, 1e-12), -1.0 + 1e-6, 1.0 - 1e-6)
             v = np.arccos(cz) / np.pi
             return u, v
+        if kind == "cylinder":
+            pc = p - self.shape_vec[row]
+            a = self.shape_vec[row + 1]
+            ax = float(np.dot(pc, a))
+            q = pc - ax * a
+            t1, t2 = self.plane_tangent_frame(a)
+            qx, qy = float(np.dot(q, t1)), float(np.dot(q, t2))
+            sx = 1.0 if abs(qx) + abs(qy) < 1e-12 else qx
+            u = np.arctan2(qy, sx) / (2 * np.pi) + 0.5
+            return u, ax
         n = self.shape_vec[row]
         t1, t2 = self.plane_tangent_frame(n)
         return float(np.dot(p, t1)), float(np.dot(p, t2))
@@ -289,6 +331,11 @@ class Oracle:
         rgba = self.eval_surface(e.surface, u, v)
         alpha = rgba[3]
         rho = self.surf_refl[e.surface]
+        fres = self.surf_fres[e.surface]
+        if fres != 0.0:
+            # get_reflection_ratio with Schlick term (SEMANTICS.md shading)
+            cos_i = min(max(-float(np.dot(dout, n)), 0.0), 1.0)
+            rho = rho + (1.0 - rho) * fres * (1.0 - cos_i) ** 5
         out = (1.0 - rho) * alpha * rgba[:3]
 
         # transmission

@@ -11,8 +11,9 @@
 // interface; no pybind11 dependency).
 //
 // Scene encoding (see native_oracle.py):
-//   node_kind: 0 sphere, 1 hyperplane, 2 halfspace,
-//              3 union, 4 intersection, 5 difference, 6 symdiff, 7 complement
+//   node_kind: 0 sphere, 1 hyperplane, 2 halfspace, 3 cylinder (two shape
+//              rows: [row] center + radius, [row+1] unit axis),
+//              4 union, 5 intersection, 6 difference, 7 symdiff, 8 complement
 //   mat_kind:  0 vacuum, 1 dielectric, 2 warp
 //   surf_kind: 0 uniform, 1 checker, 2 smooth, 3 texture
 
@@ -54,7 +55,7 @@ struct Scene {
     const double *mat_ior, *mat_wc, *mat_ws, *mat_wh;
     int n_surf;
     const int32_t *surf_kind;
-    const double *surf_color, *surf_color2, *surf_refl, *surf_uvs;
+    const double *surf_color, *surf_color2, *surf_refl, *surf_fres, *surf_uvs;
     const int32_t *surf_tex;
     const double *portal_lin, *portal_tr;
     const double *tex_data;
@@ -68,6 +69,13 @@ struct Scene {
         return {p[0], p[1], p[2], p[3]};
     }
 
+    // radial component of (p - center) w.r.t. the cylinder axis at row+1
+    V4 cyl_radial(int row, V4 p) const {
+        V4 pc = p - svec(row);
+        V4 a = svec(row + 1);
+        return pc - dot(pc, a) * a;
+    }
+
     // ---- membership / sides ------------------------------------------------
     bool member(int node, V4 p) const {
         int k = node_kind[node];
@@ -78,18 +86,23 @@ struct Scene {
         }
         if (k == 1) return false;
         if (k == 2) return dot(svec(node_row[node]), p) < shape_sc[node_row[node]];
+        if (k == 3) {  // cylinder
+            V4 q = cyl_radial(node_row[node], p);
+            double r = shape_sc[node_row[node]];
+            return dot(q, q) < r * r;
+        }
         int cs = node_cstart[node], cc = node_ccount[node];
-        if (k == 3) {  // union
+        if (k == 4) {  // union
             for (int i = 0; i < cc; i++) if (member(child_idx[cs + i], p)) return true;
             return false;
         }
-        if (k == 4) {  // intersection
+        if (k == 5) {  // intersection
             for (int i = 0; i < cc; i++) if (!member(child_idx[cs + i], p)) return false;
             return true;
         }
-        if (k == 5)    // difference
+        if (k == 6)    // difference
             return member(child_idx[cs], p) && !member(child_idx[cs + 1], p);
-        if (k == 6) {  // symdiff
+        if (k == 7) {  // symdiff
             bool out = member(child_idx[cs], p);
             for (int i = 1; i < cc; i++) out ^= member(child_idx[cs + i], p);
             return out;
@@ -104,7 +117,7 @@ struct Scene {
     }
 
     void leaves(int node, int* out, int* n) const {
-        if (node_kind[node] <= 2) { out[(*n)++] = node; return; }
+        if (node_kind[node] <= 3) { out[(*n)++] = node; return; }
         int cs = node_cstart[node], cc = node_ccount[node];
         for (int i = 0; i < cc; i++) leaves(child_idx[cs + i], out, n);
     }
@@ -125,6 +138,24 @@ struct Scene {
             ts[1] = -b + s;
             return 2;
         }
+        if (k == 3) {  // cylinder: |q + t w|^2 = r^2 with radial parts q, w
+            V4 c = svec(row);
+            V4 a = svec(row + 1);
+            double r = shape_sc[row];
+            V4 oc = o - c;
+            V4 q = oc - dot(oc, a) * a;
+            V4 w = d - dot(d, a) * a;
+            double w2 = dot(w, w);
+            if (w2 < 1e-12) return 0;
+            double b = dot(q, w) / w2;
+            double cc = (dot(q, q) - r * r) / w2;
+            double disc = b * b - cc;
+            if (disc <= 0.0) return 0;
+            double s = std::sqrt(disc);
+            ts[0] = -b - s;
+            ts[1] = -b + s;
+            return 2;
+        }
         V4 n = svec(row);
         double nd = dot(n, d);
         if (std::fabs(nd) <= 1e-12) return 0;
@@ -134,6 +165,7 @@ struct Scene {
 
     V4 leaf_normal(int leaf, V4 p) const {
         if (node_kind[leaf] == 0) return normalize(p - svec(node_row[leaf]));
+        if (node_kind[leaf] == 3) return normalize(cyl_radial(node_row[leaf], p));
         return svec(node_row[leaf]);
     }
 
@@ -141,6 +173,8 @@ struct Scene {
         int row = node_row[leaf];
         if (node_kind[leaf] == 0)
             return std::fabs(norm(p - svec(row)) - shape_sc[row]);
+        if (node_kind[leaf] == 3)
+            return std::fabs(norm(cyl_radial(row, p)) - shape_sc[row]);
         return std::fabs(dot(svec(row), p) - shape_sc[row]);
     }
 
@@ -175,6 +209,20 @@ struct Scene {
             *v = std::acos(c) / M_PI;
             return;
         }
+        if (node_kind[leaf] == 3) {  // cylinder: angle around axis, axial coord
+            int row = node_row[leaf];
+            V4 pc = p - svec(row);
+            V4 a = svec(row + 1);
+            double ax = dot(pc, a);
+            V4 q = pc - ax * a;
+            V4 t1, t2;
+            tangent_frame(a, &t1, &t2);
+            double qx = dot(q, t1), qy = dot(q, t2);
+            double sx = (std::fabs(qx) + std::fabs(qy) < 1e-12) ? 1.0 : qx;
+            *u = std::atan2(qy, sx) / (2.0 * M_PI) + 0.5;
+            *v = ax;
+            return;
+        }
         V4 n = svec(node_row[leaf]);
         V4 t1, t2;
         tangent_frame(n, &t1, &t2);
@@ -187,7 +235,7 @@ struct Scene {
     double entity_hit(int root, V4 o, V4 d, V4* n, double* u, double* v) const {
         int lv[64], nl = 0;
         leaves(root, lv, &nl);
-        bool csg = node_kind[root] > 2;
+        bool csg = node_kind[root] > 3;
         double best = -1.0;
         for (int li = 0; li < nl; li++) {
             double ts[2];
@@ -372,6 +420,13 @@ struct Scene {
         int surf = ent_surf[ei];
         eval_surface(surf, u, v, rgba);
         double alpha = rgba[3], rho = surf_refl[surf];
+        double fres = surf_fres[surf];
+        if (fres != 0.0) {
+            // get_reflection_ratio with Schlick term (SEMANTICS.md shading)
+            double cos_i = std::min(1.0, std::max(0.0, -dot(dout, n)));
+            double m = 1.0 - cos_i;
+            rho = rho + (1.0 - rho) * fres * m * m * m * m * m;
+        }
         for (int c = 0; c < 3; c++) rgb[c] = (1.0 - rho) * alpha * rgba[c];
 
         double w_t = (1.0 - rho) * (1.0 - alpha);
@@ -426,7 +481,8 @@ void euclider_oracle_render(
     int n_mat, const int32_t* mat_kind, const double* mat_ior,
     const double* mat_wc, const double* mat_ws, const double* mat_wh,
     int n_surf, const int32_t* surf_kind, const double* surf_color,
-    const double* surf_color2, const double* surf_refl, const double* surf_uvs,
+    const double* surf_color2, const double* surf_refl,
+    const double* surf_fres, const double* surf_uvs,
     const int32_t* surf_tex,
     const double* portal_lin, const double* portal_tr,
     const double* tex_data, const int32_t* tex_off, const int32_t* tex_h,
@@ -439,8 +495,8 @@ void euclider_oracle_render(
             n_nodes, node_kind, node_row, node_cstart, node_ccount, child_idx,
             shape_vec, shape_sc,
             n_mat, mat_kind, mat_ior, mat_wc, mat_ws, mat_wh,
-            n_surf, surf_kind, surf_color, surf_color2, surf_refl, surf_uvs,
-            surf_tex, portal_lin, portal_tr,
+            n_surf, surf_kind, surf_color, surf_color2, surf_refl, surf_fres,
+            surf_uvs, surf_tex, portal_lin, portal_tr,
             tex_data, tex_off, tex_h, tex_w,
             background, ambient, max_depth, march_steps, t_max};
 

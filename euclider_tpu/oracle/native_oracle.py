@@ -21,9 +21,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native", "oracle.cpp")
 _LIB = os.path.join(_HERE, "native", "liboracle.so")
 
-NODE_KINDS = {"sphere": 0, "hyperplane": 1, "halfspace": 2, "union": 3,
-              "intersection": 4, "difference": 5, "symdiff": 6,
-              "complement": 7}
+NODE_KINDS = {"sphere": 0, "hyperplane": 1, "halfspace": 2, "cylinder": 3,
+              "union": 4, "intersection": 5, "difference": 6, "symdiff": 7,
+              "complement": 8}
 MAT_KINDS = {"vacuum": 0, "dielectric": 1, "warp": 2}
 SURF_KINDS = {"uniform": 0, "checker": 1, "smooth": 2, "texture": 3}
 
@@ -52,7 +52,7 @@ def _encode_nodes(static):
     kind, row, cstart, ccount, children = [], [], [], [], []
 
     def add(node):
-        if node[0] in ("sphere", "hyperplane", "halfspace"):
+        if node[0] in ("sphere", "hyperplane", "halfspace", "cylinder"):
             idx = len(kind)
             kind.append(NODE_KINDS[node[0]])
             row.append(node[1])
@@ -132,6 +132,7 @@ def render_native(static, tables, cam, H: int, W: int) -> np.ndarray:
     ucol = f64(tables.surf_color)
     ucol2 = f64(tables.surf_color2)
     urefl = f64(tables.surf_refl)
+    ufres = f64(tables.surf_fresnel)
     uuvs = f64(tables.surf_uv_scale)
     plin = f64(tables.portal_lin)
     ptr_ = f64(tables.portal_tr)
@@ -146,7 +147,7 @@ def render_native(static, tables, cam, H: int, W: int) -> np.ndarray:
         ctypes.c_int(len(mat_kind)), i32p(mat_kind), f64p(mior), f64p(mwc),
         f64p(mws), f64p(mwh),
         ctypes.c_int(len(surf_kind)), i32p(surf_kind), f64p(ucol), f64p(ucol2),
-        f64p(urefl), f64p(uuvs), i32p(surf_tex),
+        f64p(urefl), f64p(ufres), f64p(uuvs), i32p(surf_tex),
         f64p(plin), f64p(ptr_),
         f64p(np.ascontiguousarray(tex_data)), i32p(tex_off), i32p(tex_h),
         i32p(tex_w),

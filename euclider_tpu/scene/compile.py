@@ -57,8 +57,9 @@ class SceneStatic:
     # differentiable path ignores the hints so gradients w.r.t. alpha /
     # reflectivity stay exact even at the pruning point.
     surf_alpha1: Tuple[bool, ...] = ()   # alpha statically == 1
-    surf_refl0: Tuple[bool, ...] = ()    # reflectivity statically == 0
+    surf_refl0: Tuple[bool, ...] = ()    # reflectivity AND fresnel == 0
     surf_need_uv: Tuple[bool, ...] = ()  # color depends on the UV coords
+    surf_fres0: Tuple[bool, ...] = ()    # fresnel statically == 0
 
     @property
     def has_warp(self) -> bool:
@@ -85,6 +86,7 @@ class SceneTables(NamedTuple):
     surf_color: np.ndarray    # [U, 4] rgba
     surf_color2: np.ndarray   # [U, 4] rgba (checker second color)
     surf_refl: np.ndarray     # [U]
+    surf_fresnel: np.ndarray  # [U] Schlick coefficient of get_reflection_ratio
     surf_uv_scale: np.ndarray # [U]
     portal_lin: np.ndarray    # [P, 4, 4]
     portal_tr: np.ndarray     # [P, 4]
@@ -158,6 +160,16 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
             shape_vec.append(tuple(nn))
             shape_sc.append(s.offset / np.linalg.norm(n))
             return ("halfspace", row)
+        if isinstance(s, ir.Cylinder):
+            # two consecutive rows: [row] center (+radius in sc),
+            # [row+1] unit axis
+            row = len(shape_sc)
+            shape_vec.append(s.center)
+            shape_sc.append(s.radius)
+            a = np.asarray(s.axis, np.float64)
+            shape_vec.append(tuple(a / np.linalg.norm(a)))
+            shape_sc.append(0.0)
+            return ("cylinder", row)
         if isinstance(s, ir.Csg):
             return (s.op, tuple(flatten_shape(c) for c in s.children))
         raise TypeError(f"unknown shape {s!r}")
@@ -204,7 +216,10 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
         return False
 
     def _refl0(s: ir.Surface) -> bool:
-        return getattr(s, "reflectivity", 1.0) == 0.0
+        # the reflection branch is statically dead only when BOTH the
+        # constant ratio and the Schlick fresnel term are exactly zero
+        return (getattr(s, "reflectivity", 1.0) == 0.0
+                and getattr(s, "fresnel", 1.0) == 0.0)
 
     def _need_uv(s: ir.Surface) -> bool:
         return not isinstance(s, ir.UniformSurface)
@@ -226,6 +241,7 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
         surf_alpha1=tuple(_alpha1(s) for s in surfaces),
         surf_refl0=tuple(_refl0(s) for s in surfaces),
         surf_need_uv=tuple(_need_uv(s) for s in surfaces),
+        surf_fres0=tuple(s.fresnel == 0.0 for s in surfaces),
     )
 
     M, U, P = len(materials), len(surfaces), len(portals)
@@ -245,8 +261,10 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
     s_col = np.zeros((U, 4), np.float32)
     s_col2 = np.zeros((U, 4), np.float32)
     s_refl = np.zeros(U, np.float32)
+    s_fres = np.zeros(U, np.float32)
     s_uvs = np.ones(U, np.float32)
     for i, s in enumerate(surfaces):
+        s_fres[i] = s.fresnel
         if isinstance(s, ir.UniformSurface):
             s_col[i] = s.color
             s_refl[i] = s.reflectivity
@@ -276,6 +294,7 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
         surf_color=s_col,
         surf_color2=s_col2,
         surf_refl=s_refl,
+        surf_fresnel=s_fres,
         surf_uv_scale=s_uvs,
         portal_lin=p_lin,
         portal_tr=p_tr,

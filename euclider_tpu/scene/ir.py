@@ -71,6 +71,22 @@ class HalfSpace:
         object.__setattr__(self, "offset", float(self.offset))
 
 
+@dataclass(frozen=True)
+class Cylinder:
+    """Infinite n-cylinder: points within ``radius`` of the line
+    center + t*axis.  In 4D the axis lives in R^4 (the solid is the product
+    of a 3-ball cross-section with the axis line)."""
+
+    center: Sequence[float]
+    axis: Sequence[float]
+    radius: float
+
+    def __post_init__(self):
+        object.__setattr__(self, "center", _pad4(self.center))
+        object.__setattr__(self, "axis", _pad4(self.axis))
+        object.__setattr__(self, "radius", float(self.radius))
+
+
 CSG_OPS = ("union", "intersection", "difference", "symdiff", "complement")
 
 
@@ -99,7 +115,7 @@ class Csg:
             raise ValueError(f"{self.op} takes at least two children")
 
 
-Shape = Union[Sphere, Hyperplane, HalfSpace, Csg]
+Shape = Union[Sphere, Hyperplane, HalfSpace, Cylinder, Csg]
 
 # ---------------------------------------------------------------------------
 # Materials — "space as material" (reference entity/material.rs; SURVEY §3.4)
@@ -148,6 +164,7 @@ Material = Union[Vacuum, Dielectric, WarpSpace]
 class UniformSurface:
     color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     reflectivity: float = 0.0
+    fresnel: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "color", tuple(float(c) for c in self.color))
@@ -161,6 +178,7 @@ class CheckerSurface:
     color2: Tuple[float, float, float, float] = (0.9, 0.9, 0.9, 1.0)
     uv_scale: float = 1.0
     reflectivity: float = 0.0
+    fresnel: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "color", tuple(float(c) for c in self.color))
@@ -180,6 +198,7 @@ class SmoothSurface:
     color2: Tuple[float, float, float, float] = (0.9, 0.8, 0.2, 1.0)
     uv_scale: float = 1.0
     reflectivity: float = 0.0
+    fresnel: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "color", tuple(float(c) for c in self.color))
@@ -197,6 +216,7 @@ class TextureSurface:
     texture_id: int
     uv_scale: float = 1.0
     reflectivity: float = 0.0
+    fresnel: float = 0.0
     alpha: float = 1.0
 
 

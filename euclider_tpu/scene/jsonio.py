@@ -24,6 +24,9 @@ def _enc_shape(s: ir.Shape) -> Dict[str, Any]:
     if isinstance(s, ir.HalfSpace):
         return {"type": "halfspace", "normal": list(s.normal),
                 "offset": s.offset}
+    if isinstance(s, ir.Cylinder):
+        return {"type": "cylinder", "center": list(s.center),
+                "axis": list(s.axis), "radius": s.radius}
     if isinstance(s, ir.Csg):
         return {"type": "csg", "op": s.op,
                 "children": [_enc_shape(c) for c in s.children]}
@@ -44,19 +47,19 @@ def _enc_material(m: ir.Material) -> Dict[str, Any]:
 def _enc_surface(s: ir.Surface) -> Dict[str, Any]:
     if isinstance(s, ir.UniformSurface):
         return {"type": "uniform", "color": list(s.color),
-                "reflectivity": s.reflectivity}
+                "reflectivity": s.reflectivity, "fresnel": s.fresnel}
     if isinstance(s, ir.CheckerSurface):
         return {"type": "checker", "color": list(s.color),
                 "color2": list(s.color2), "uv_scale": s.uv_scale,
-                "reflectivity": s.reflectivity}
+                "reflectivity": s.reflectivity, "fresnel": s.fresnel}
     if isinstance(s, ir.SmoothSurface):
         return {"type": "smooth", "color": list(s.color),
                 "color2": list(s.color2), "uv_scale": s.uv_scale,
-                "reflectivity": s.reflectivity}
+                "reflectivity": s.reflectivity, "fresnel": s.fresnel}
     if isinstance(s, ir.TextureSurface):
         return {"type": "texture", "texture_id": s.texture_id,
                 "uv_scale": s.uv_scale, "reflectivity": s.reflectivity,
-                "alpha": s.alpha}
+                "fresnel": s.fresnel, "alpha": s.alpha}
     raise TypeError(f"unknown surface {s!r}")
 
 
@@ -109,6 +112,8 @@ def _dec_shape(d: Dict[str, Any]) -> ir.Shape:
         return ir.Hyperplane(d["normal"], d["offset"])
     if t == "halfspace":
         return ir.HalfSpace(d["normal"], d["offset"])
+    if t == "cylinder":
+        return ir.Cylinder(d["center"], d["axis"], d["radius"])
     if t == "csg":
         return ir.Csg(d["op"], tuple(_dec_shape(c) for c in d["children"]))
     raise ValueError(f"unknown shape type {t!r}")
@@ -129,21 +134,27 @@ def _dec_material(d: Dict[str, Any]) -> ir.Material:
 
 def _dec_surface(d: Dict[str, Any]) -> ir.Surface:
     t = d["type"]
+    fres = d.get("fresnel", 0.0)
     if t == "uniform":
         return ir.UniformSurface(tuple(d["color"]),
-                                 d.get("reflectivity", 0.0))
+                                 reflectivity=d.get("reflectivity", 0.0),
+                                 fresnel=fres)
     if t == "checker":
         return ir.CheckerSurface(tuple(d["color"]), tuple(d["color2"]),
-                                 d.get("uv_scale", 1.0),
-                                 d.get("reflectivity", 0.0))
+                                 uv_scale=d.get("uv_scale", 1.0),
+                                 reflectivity=d.get("reflectivity", 0.0),
+                                 fresnel=fres)
     if t == "smooth":
         return ir.SmoothSurface(tuple(d["color"]), tuple(d["color2"]),
-                                d.get("uv_scale", 1.0),
-                                d.get("reflectivity", 0.0))
+                                uv_scale=d.get("uv_scale", 1.0),
+                                reflectivity=d.get("reflectivity", 0.0),
+                                fresnel=fres)
     if t == "texture":
-        return ir.TextureSurface(d["texture_id"], d.get("uv_scale", 1.0),
-                                 d.get("reflectivity", 0.0),
-                                 d.get("alpha", 1.0))
+        return ir.TextureSurface(d["texture_id"],
+                                 uv_scale=d.get("uv_scale", 1.0),
+                                 reflectivity=d.get("reflectivity", 0.0),
+                                 fresnel=fres,
+                                 alpha=d.get("alpha", 1.0))
     raise ValueError(f"unknown surface type {t!r}")
 
 

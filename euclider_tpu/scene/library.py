@@ -202,6 +202,29 @@ def grad_probe() -> Scene:
     )
 
 
+def fresnel_probe() -> Scene:
+    """Schlick-fresnel reflection-ratio fixture: grazing-angle reflections
+    via the composable get_reflection_ratio model (SURVEY §2.1 Surfaces).
+    Smooth color fields keep it finite-difference checkable."""
+    return Scene(
+        dim=3,
+        name="fresnel_probe",
+        entities=(
+            Entity(Sphere((0.0, 0.0, -4.0), 1.0),
+                   surface=SmoothSurface(uv_scale=2.0, reflectivity=0.05,
+                                         fresnel=0.9), name="glossy"),
+            Entity(Sphere((1.5, 0.2, -5.2), 0.8),
+                   surface=UniformSurface((0.9, 0.4, 0.1, 1.0),
+                                          fresnel=0.6), name="matte_fres"),
+            Entity(HalfSpace((0.0, -1.0, 0.0), 1.2),
+                   surface=SmoothSurface(uv_scale=0.5, fresnel=0.5),
+                   name="floor"),
+        ),
+        camera=_cam3((0.0, 0.5, 1.0), (0.0, -0.15, -1.0)),
+        settings=RenderSettings(max_depth=3, background=(0.05, 0.07, 0.12)),
+    )
+
+
 BUILDERS = {
     "config1_sphere_room": config1_sphere_room,
     "config2_mirror_glass": config2_mirror_glass,
@@ -209,6 +232,7 @@ BUILDERS = {
     "config4_hypersphere": config4_hypersphere,
     "config5_warp_portal": config5_warp_portal,
     "grad_probe": grad_probe,
+    "fresnel_probe": fresnel_probe,
 }
 
 ACCEPTANCE = tuple(n for n in BUILDERS if n.startswith("config"))

@@ -113,6 +113,20 @@ def test_grad_surface_color(probe):
     _fd_vs_jvp(static, tables, cam, set_p, get_p, h=1e-3, tol=0.01)
 
 
+def test_grad_fresnel_coefficient(compiled_scenes):
+    """d(img)/d(fresnel) through the Schlick reflection-ratio term."""
+    _, static, tables, cam = compiled_scenes["fresnel_probe"]
+
+    def set_p(t, c, th):
+        f = jnp.asarray(t.surf_fresnel).at[0].set(th)
+        return t._replace(surf_fresnel=f), c
+
+    def get_p(t, c):
+        return float(np.asarray(t.surf_fresnel)[0])
+
+    _fd_vs_jvp(static, tables, cam, set_p, get_p, h=1e-3, tol=0.02)
+
+
 def test_grad_reverse_mode_runs(probe):
     """reverse-mode end-to-end: grad of a scalar loss w.r.t. all tables."""
     _, static, tables, cam = probe

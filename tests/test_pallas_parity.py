@@ -24,6 +24,7 @@ H, W = 16, 128   # one (8, 128) tile pair — keeps interpret mode fast
 @pytest.mark.parametrize("name", [
     "config1_sphere_room",
     "config2_mirror_glass",
+    "config3_csg_textured",    # exercises the gather-free matmul texture path
     "config4_hypersphere",
 ])
 def test_pallas_interpret_matches_lax(compiled_scenes, name):

@@ -15,7 +15,8 @@ from conftest import assert_images_close
 RES = (20, 32)
 
 
-@pytest.mark.parametrize("name", et.ACCEPTANCE + ("grad_probe",))
+@pytest.mark.parametrize("name", et.ACCEPTANCE + ("grad_probe",
+                                                   "fresnel_probe"))
 def test_lax_matches_oracle(name, compiled_scenes):
     _, static, tables, cam = compiled_scenes[name]
     H, W = RES
@@ -151,6 +152,44 @@ def test_4d_slicing():
     hidden = _render_scene(build(2.0))
     assert visible.max() > 0.5          # sphere seen
     assert np.allclose(hidden, 0.0)     # sphere fully outside the w-slice
+
+
+def test_fresnel_head_on_vs_grazing():
+    """Schlick ratio: ~0 head-on (cos_i=1) and ->1 at grazing incidence.
+
+    A fresnel-only sphere (rho=0, fresnel=1) over a red background: the
+    center pixel keeps the surface color; the silhouette-adjacent pixels
+    are dominated by reflected background."""
+    ball = ir.Entity(ir.Sphere((0, 0, -3), 1.0),
+                     surface=ir.UniformSurface((0.0, 1.0, 0.0, 1.0),
+                                               reflectivity=0.0, fresnel=1.0))
+    sc = ir.Scene(dim=3, entities=(ball,),
+                  settings=ir.RenderSettings(max_depth=2,
+                                             background=(1.0, 0.0, 0.0)))
+    img = _render_scene(sc, 64, 96)
+    center = img[32, 48]
+    assert center[1] > 0.95 and center[0] < 0.05, center  # green, no fresnel
+    # scan the horizontal center row for the sphere edge: last hit column
+    row = img[32]
+    hit = np.where(row[:, 1] + row[:, 0] * 0 > 0.0)[0]
+    # a grazing pixel: strongly red (reflected background)
+    grazing = row[np.where(row[:, 0] > 0.5)[0]]
+    assert len(grazing) > 0, "no grazing-angle fresnel reflection found"
+
+
+def test_fresnel_zero_matches_plain():
+    """fresnel=0 must reproduce the constant-ratio image bit-for-bit."""
+    def build(f):
+        ball = ir.Entity(ir.Sphere((0, 0, -3), 1.0),
+                         surface=ir.UniformSurface((0.2, 0.7, 0.3, 1.0),
+                                                   reflectivity=0.3,
+                                                   fresnel=f))
+        return ir.Scene(dim=3, entities=(ball,),
+                        settings=ir.RenderSettings(max_depth=3,
+                                                   background=(0.3, 0.2, 0.6)))
+    a = _render_scene(build(0.0))
+    b = _render_scene(build(1e-12))  # forces the fresnel code path
+    assert np.abs(a - b).max() < 1e-6
 
 
 def test_nested_materials_ior():
