@@ -20,7 +20,8 @@ reference layer map this framework mirrors.
 
 from .scene import ir
 from .scene.compile import (CameraParams, SceneStatic, SceneTables,
-                            compile_camera, compile_scene)
+                            cast_camera, cast_tables, compile_camera,
+                            compile_scene)
 from .scene.library import ACCEPTANCE, get_scene
 from .ops.trace import render_image, render_image_jit, render_rays
 

@@ -192,9 +192,9 @@ def leaf_normal(leaf, tables, p: Vec) -> Vec:
     return row_vec(tables, row)  # unit normal (normalised at compile time)
 
 
-def _axis_vec(i):
-    z = jnp.float32(0.0)
-    o = jnp.float32(1.0)
+def _axis_vec(i, dtype=jnp.float32):
+    z = jnp.asarray(0.0, dtype)
+    o = jnp.asarray(1.0, dtype)
     comps = [z, z, z, z]
     comps[i] = o
     return Vec(*comps)
@@ -206,7 +206,8 @@ def plane_tangent_frame(n: Vec, dim: int):
     Branchless (jnp.where chains on scalars) so it traces cleanly; the
     NumPy/C++ oracles replicate the same selection rule bit-for-bit."""
     comps = [jnp.abs(n.x), jnp.abs(n.y), jnp.abs(n.z), jnp.abs(n.w)]
-    big = jnp.float32(1e9)
+    dtype = jnp.asarray(n.x).dtype
+    big = jnp.asarray(1e9, dtype)
     vals = [comps[i] if i < dim else big for i in range(4)]
 
     # argmin over `dim` scalar values
@@ -224,9 +225,9 @@ def plane_tangent_frame(n: Vec, dim: int):
     b = argmin(vals, exclude=a)
 
     def pick_axis(idx):
-        out = _axis_vec(0)
+        out = _axis_vec(0, dtype)
         for i in range(1, 4):
-            out = V.where(idx == i, _axis_vec(i), out)
+            out = V.where(idx == i, _axis_vec(i, dtype), out)
         return out
 
     ea, eb = pick_axis(a), pick_axis(b)

@@ -30,7 +30,7 @@ BISECT_ITERS = 10
 def warp_accel(center: Vec, strength, x: Vec) -> Vec:
     d = V.sub(center, x)
     r2 = V.norm2(d) + 1e-4
-    inv_r3 = r2 ** jnp.float32(-1.5)
+    inv_r3 = r2 ** jnp.asarray(-1.5, r2.dtype)
     return V.scale(d, strength * inv_r3)
 
 

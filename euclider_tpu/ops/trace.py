@@ -71,10 +71,11 @@ def warp_mask(static, mat_ids):
 
 def warp_params(static, tables, mat_ids):
     shape = jnp.shape(mat_ids)
-    zf = jnp.zeros(shape, jnp.float32)
+    dt = jnp.asarray(tables.mat_warp_step).dtype
+    zf = jnp.zeros(shape, dt)
     wc = Vec(zf, zf, zf, zf)
     ws = zf
-    h = jnp.full(shape, 0.05, jnp.float32)
+    h = jnp.full(shape, 0.05, dt)
     for m, kind in enumerate(static.mat_kinds):
         if kind == "warp":
             sel = mat_ids == m
@@ -182,7 +183,8 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
     """
     ents = static.entities
     bshape = jnp.shape(org.x)
-    zf = jnp.zeros(bshape, jnp.float32)
+    dt = jnp.asarray(org.x).dtype
+    zf = jnp.zeros(bshape, dt)
 
     hit, p, dout, ent, n, u, v = propagate(static, tables, org, d, mat,
                                            differentiable)
@@ -201,7 +203,7 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
     # surface color / reflectivity of the winning entity
     cols = {s: shading.eval_surface(static, tables, s, u, v, texture_matmul)
             for s in used_surfs}
-    cr, cg, cb, ca, refl = zf, zf, zf, jnp.ones(bshape, jnp.float32), zf
+    cr, cg, cb, ca, refl = zf, zf, zf, jnp.ones(bshape, dt), zf
     fres = zf
     any_fres = any(not (static.surf_fres0 or (False,) * len(
         static.surf_kinds))[e.surface] for e in ents) if not differentiable \
@@ -302,7 +304,8 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
     D = static.max_depth
     S = D + 1
     bshape = jnp.shape(org0.x)
-    zf = jnp.zeros(bshape, jnp.float32)
+    dt = jnp.asarray(org0.x).dtype
+    zf = jnp.zeros(bshape, dt)
     zi = jnp.zeros(bshape, jnp.int32)
     zvec = Vec(zf, zf, zf, zf)
 
@@ -319,7 +322,7 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
 
     # --- peeled primary node (stack state statically known) ---------------
     ar, ag, ab, branches = _shade_node(
-        static, tables, org0, d0, jnp.ones(bshape, jnp.float32),
+        static, tables, org0, d0, jnp.ones(bshape, dt),
         jnp.full(bshape, static.ambient, jnp.int32),
         jnp.full(bshape, jnp.int32(D)), jnp.ones(bshape, bool),
         differentiable, used_surfs, do_transmit, do_reflect,
@@ -379,23 +382,26 @@ def camera_rays(cam, xi, yi, W: int, H: int):
     Reference: d3/d4 camera get_ray_point / get_ray_direction
     (SURVEY.md §2.1 Cameras).  The frame is re-orthonormalised here
     (Gram-Schmidt) so camera parameters stay freely differentiable.
+    The compute dtype follows ``xi`` (f32 everywhere; f64 when the caller
+    renders in double precision — the CustomFloat axis of SURVEY L0).
     """
-    f = V.normalize(V.from_array(cam.forward))
-    r0 = V.from_array(cam.right)
+    dt = jnp.asarray(xi).dtype
+    f = V.normalize(V.from_array(cam.forward, dt))
+    r0 = V.from_array(cam.right, dt)
     r = V.normalize(V.madd(r0, -V.dot(r0, f), f))
-    u0 = V.from_array(cam.up)
+    u0 = V.from_array(cam.up, dt)
     u1 = V.madd(u0, -V.dot(u0, f), f)
     u = V.normalize(V.madd(u1, -V.dot(u1, r), r))
 
     aspect = W / H
-    t = cam.tan_half_fov
+    t = jnp.asarray(cam.tan_half_fov, dt)
     ndx = ((xi + 0.5) / W * 2.0 - 1.0) * (aspect * t)
     ndy = (1.0 - (yi + 0.5) / H * 2.0) * t
     d = V.normalize(Vec(f.x + ndx * r.x + ndy * u.x,
                         f.y + ndx * r.y + ndy * u.y,
                         f.z + ndx * r.z + ndy * u.z,
                         f.w + ndx * r.w + ndy * u.w))
-    org = V.splat(V.from_array(cam.position), jnp.shape(xi))
+    org = V.splat(V.from_array(cam.position, dt), jnp.shape(xi))
     return org, d
 
 
@@ -405,8 +411,9 @@ def render_image(static, tables, cam, H: int, W: int,
 
     Pass ``differentiable=True`` when taking gradients through the render.
     """
-    yi = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    xi = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    dt = jnp.asarray(tables.surf_color).dtype
+    yi = jax.lax.broadcasted_iota(dt, (H, W), 0)
+    xi = jax.lax.broadcasted_iota(dt, (H, W), 1)
     org, d = camera_rays(cam, xi, yi, W, H)
     r, g, b = trace_batch(static, tables, org, d, differentiable)
     return jnp.stack([r, g, b], axis=-1)

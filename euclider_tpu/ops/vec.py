@@ -26,14 +26,14 @@ class Vec(NamedTuple):
     w: jnp.ndarray
 
 
-def vec(x, y, z, w=0.0) -> Vec:
-    return Vec(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
-               jnp.asarray(z, jnp.float32), jnp.asarray(w, jnp.float32))
+def vec(x, y, z, w=0.0, dtype=jnp.float32) -> Vec:
+    return Vec(jnp.asarray(x, dtype), jnp.asarray(y, dtype),
+               jnp.asarray(z, dtype), jnp.asarray(w, dtype))
 
 
-def from_array(a) -> Vec:
+def from_array(a, dtype=jnp.float32) -> Vec:
     """Build a Vec from a trailing-axis-4 (or -3) array."""
-    a = jnp.asarray(a, jnp.float32)
+    a = jnp.asarray(a, dtype)
     if a.shape[-1] == 3:
         zero = jnp.zeros_like(a[..., 0])
         return Vec(a[..., 0], a[..., 1], a[..., 2], zero)

@@ -104,6 +104,25 @@ class CameraParams(NamedTuple):
     tan_half_fov: np.ndarray  # scalar
 
 
+def cast_tables(tables: SceneTables, dtype) -> SceneTables:
+    """Cast every float table to ``dtype`` (np.float32 / np.float64).
+
+    The lax render path derives its compute dtype from these arrays — the
+    CustomFloat f32/f64 genericity axis of the reference (SURVEY.md L0).
+    f64 runs on CPU need jax_enable_x64; the Pallas kernel is f32-only
+    (TPU-native dtype)."""
+    def cast(f):
+        if isinstance(f, tuple):
+            return tuple(np.asarray(x, dtype) for x in f)
+        return np.asarray(f, dtype)
+
+    return SceneTables(*[cast(f) for f in tables])
+
+
+def cast_camera(cam: "CameraParams", dtype) -> "CameraParams":
+    return CameraParams(*[np.asarray(f, dtype) for f in cam])
+
+
 def compile_camera(cam: ir.Camera) -> CameraParams:
     t = np.tan(np.deg2rad(cam.fov_deg) * 0.5)
     return CameraParams(
