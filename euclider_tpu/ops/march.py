@@ -34,15 +34,16 @@ def warp_accel(center: Vec, strength, x: Vec) -> Vec:
     return V.scale(d, strength * inv_r3)
 
 
-def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h,
+def march_hit(static, tables, org: Vec, d0: Vec, accel_fn, h,
               differentiable: bool = False, active=None):
     """March a batch of rays; returns the first entity-boundary crossing.
 
-    wc / ws / h are the per-ray warp parameters (already selected from the
-    material tables by the caller).  Straight-material rays can pass through
-    with ws == 0 (they march straight); callers normally mask them out —
-    pass their mask as ``active`` so the forward path's early-exit
-    while_loop can skip the whole march when no ray needs it.
+    ``accel_fn(x: Vec) -> Vec`` is the per-ray acceleration field (already
+    material-dispatched by the caller — ops.trace.make_accel) and ``h`` the
+    per-ray step size.  Straight-material rays can pass through with a zero
+    field (they march straight); callers normally mask them out — pass their
+    mask as ``active`` so the forward path's early-exit while_loop can skip
+    the whole march when no ray needs it.
 
     With ``differentiable=True`` the loop is a static fori_loop (reverse-mode
     differentiable); otherwise a while_loop that exits as soon as every
@@ -71,7 +72,7 @@ def march_hit(static, tables, org: Vec, d0: Vec, wc: Vec, ws, h,
 
     def body(_, carry):
         x, v, done, sx0, sx1, sv, sides, crossed, dist = carry
-        a = warp_accel(wc, ws, x)
+        a = accel_fn(x)
         v1 = V.normalize(V.madd(v, h, a))
         x1 = V.madd(x, h, v1)
         new_sides = tuple(side_i(e.shape, x1) for e in ents)

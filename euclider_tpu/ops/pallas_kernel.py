@@ -43,7 +43,7 @@ def _pack_camera(cam: CameraParams) -> jnp.ndarray:
     return row.reshape(1, 24)
 
 
-N_FIXED_VIEWS = 14  # non-texture table operands in _table_views
+N_FIXED_VIEWS = 15  # non-texture table operands in _table_views
 
 
 # table fields passed to the kernel, as (name, to_2d, from_2d) transforms
@@ -62,6 +62,7 @@ def _table_views(tables: SceneTables):
         f32(tables.mat_warp_center),                 # [M, 4]
         f32(tables.mat_warp_strength).reshape(-1, 1),
         f32(tables.mat_warp_step).reshape(-1, 1),
+        f32(tables.mat_expr_params),                 # [M, 8]
         f32(tables.surf_color),                      # [U, 4]
         f32(tables.surf_color2),
         f32(tables.surf_refl).reshape(-1, 1),
@@ -81,7 +82,7 @@ def _pack_tex(t):
 
 
 def _unpack_tables(refs) -> SceneTables:
-    (sv, sc, ior, wc, ws, wh, col, col2, refl, fres, uvs, plin, ptr, bg
+    (sv, sc, ior, wc, ws, wh, ep, col, col2, refl, fres, uvs, plin, ptr, bg
      ) = refs[:N_FIXED_VIEWS]
     textures = tuple(r[:] for r in refs[N_FIXED_VIEWS:])
     return SceneTables(
@@ -91,6 +92,7 @@ def _unpack_tables(refs) -> SceneTables:
         mat_warp_center=wc[:],
         mat_warp_strength=ws[:][:, 0],
         mat_warp_step=wh[:][:, 0],
+        mat_expr_params=ep[:],
         surf_color=col[:],
         surf_color2=col2[:],
         surf_refl=refl[:][:, 0],

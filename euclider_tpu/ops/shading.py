@@ -67,6 +67,83 @@ def _sample_bilinear_matmul(texT, fu, fv, th: int, tw: int):
     return out[0], out[1], out[2]
 
 
+# ---------------------------------------------------------------------------
+# Perlin gradient noise (procedural texture; SURVEY.md §8 item 5)
+# ---------------------------------------------------------------------------
+#
+# Cross-backend-exact integer lattice hash (uint32 wraparound arithmetic —
+# identical in XLA, NumPy, and C++), gradients from a trig-free 8-direction
+# table, quintic fade.  The jnp path below, the scalar oracle
+# (oracle/cpu_oracle.py) and the C++ VM (oracle/native/oracle.cpp) implement
+# the same contract; docs/SEMANTICS.md pins it.
+
+_INV_SQRT2 = 0.7071067811865476
+
+# (gx, gy) per 3-bit hash value
+_PERLIN_DIRS = ((1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0),
+                (_INV_SQRT2, _INV_SQRT2), (-_INV_SQRT2, _INV_SQRT2),
+                (_INV_SQRT2, -_INV_SQRT2), (-_INV_SQRT2, -_INV_SQRT2))
+
+
+def _hash2(xi, yi, seed: int):
+    """uint32 lattice hash; xi, yi are uint32 arrays."""
+    n = (xi * jnp.uint32(374761393) + yi * jnp.uint32(668265263)
+         + jnp.uint32((seed * 974711) & 0xFFFFFFFF))
+    n = (n ^ (n >> jnp.uint32(13))) * jnp.uint32(1274126177)
+    return n ^ (n >> jnp.uint32(16))
+
+
+def _grad_dot(h3, dx, dy):
+    """dot(gradient[h3], (dx, dy)) via a static where-chain (no gathers)."""
+    gx, gy = _PERLIN_DIRS[0]
+    out = gx * dx + gy * dy
+    for k in range(1, 8):
+        gx, gy = _PERLIN_DIRS[k]
+        out = jnp.where(h3 == k, gx * dx + gy * dy, out)
+    return out
+
+
+def _fade(t):
+    return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+
+def perlin2(pu, pv, seed: int):
+    """One octave of 2D Perlin noise at (pu, pv); range ~[-0.71, 0.71]."""
+    x0f = jnp.floor(pu)
+    y0f = jnp.floor(pv)
+    xf = pu - x0f
+    yf = pv - y0f
+    x0 = x0f.astype(jnp.int32).astype(jnp.uint32)
+    y0 = y0f.astype(jnp.int32).astype(jnp.uint32)
+    one = jnp.uint32(1)
+    h = [(_hash2(x0 + (one if cx else jnp.uint32(0)),
+                 y0 + (one if cy else jnp.uint32(0)), seed)
+          & jnp.uint32(7)).astype(jnp.int32)
+         for cy in (0, 1) for cx in (0, 1)]
+    n00 = _grad_dot(h[0], xf, yf)
+    n01 = _grad_dot(h[1], xf - 1.0, yf)
+    n10 = _grad_dot(h[2], xf, yf - 1.0)
+    n11 = _grad_dot(h[3], xf - 1.0, yf - 1.0)
+    sx = _fade(xf)
+    sy = _fade(yf)
+    nx0 = n00 + sx * (n01 - n00)
+    nx1 = n10 + sx * (n11 - n10)
+    return nx0 + sy * (nx1 - nx0)
+
+
+def perlin_field(u, v, scale, octaves: int, seed: int):
+    """fBm over ``octaves`` (lacunarity 2, gain 0.5), mapped to [0, 1]."""
+    acc = 0.0
+    amp = 1.0
+    freq = 1.0
+    for o in range(octaves):
+        acc = acc + amp * perlin2(u * scale * freq, v * scale * freq,
+                                  seed + o)
+        amp *= 0.5
+        freq *= 2.0
+    return jnp.clip(0.5 + 0.5 * acc, 0.0, 1.0)
+
+
 def eval_surface(static, tables, s: int, u, v, texture_matmul: bool = False):
     """Evaluate surface index ``s`` (static) at batched UV.
 
@@ -94,6 +171,11 @@ def eval_surface(static, tables, s: int, u, v, texture_matmul: bool = False):
         two_pi = 2.0 * jnp.pi
         f = 0.25 * (1.0 + jnp.sin(two_pi * u * sc)) \
                  * (1.0 + jnp.sin(two_pi * v * sc))
+        col2 = tables.surf_color2[s]
+        return tuple(col[c] + (col2[c] - col[c]) * f for c in range(4))
+    if kind == "perlin":
+        octaves, seed = static.surf_perlin[s]
+        f = perlin_field(u, v, tables.surf_uv_scale[s], octaves, seed)
         col2 = tables.surf_color2[s]
         return tuple(col[c] + (col2[c] - col[c]) * f for c in range(4))
     if kind == "texture":

@@ -61,29 +61,67 @@ def mat_lookup(tables_column, mat_ids):
     return out
 
 
+WARP_KINDS = ("warp", "expr")   # material kinds that march instead of flying
+
+
 def warp_mask(static, mat_ids):
     mask = jnp.zeros(jnp.shape(mat_ids), bool)
     for m, kind in enumerate(static.mat_kinds):
-        if kind == "warp":
+        if kind in WARP_KINDS:
             mask = mask | (mat_ids == m)
     return mask
 
 
-def warp_params(static, tables, mat_ids):
+def warp_step(static, tables, mat_ids):
+    """Per-ray march step size h, selected from the material tables."""
     shape = jnp.shape(mat_ids)
     dt = jnp.asarray(tables.mat_warp_step).dtype
-    zf = jnp.zeros(shape, dt)
-    wc = Vec(zf, zf, zf, zf)
-    ws = zf
     h = jnp.full(shape, 0.05, dt)
     for m, kind in enumerate(static.mat_kinds):
-        if kind == "warp":
-            sel = mat_ids == m
-            row = tables.mat_warp_center[m]
-            wc = V.where(sel, Vec(row[0], row[1], row[2], row[3]), wc)
-            ws = jnp.where(sel, tables.mat_warp_strength[m], ws)
-            h = jnp.where(sel, tables.mat_warp_step[m], h)
-    return wc, ws, h
+        if kind in WARP_KINDS:
+            h = jnp.where(mat_ids == m, tables.mat_warp_step[m], h)
+    return h
+
+
+def make_accel(static, tables, mat_ids):
+    """Acceleration field a(x) for marching rays, per-ray-dispatched over
+    the scene's warped materials (compile-time specialised like everything
+    else): 'warp' materials contribute the attractor field, 'expr' materials
+    their compiled expression field (scene/expr.py)."""
+    from ..scene import expr as E
+
+    any_attractor = any(k == "warp" for k in static.mat_kinds)
+    expr_mats = [m for m, k in enumerate(static.mat_kinds) if k == "expr"]
+    if any_attractor:
+        shape = jnp.shape(mat_ids)
+        dt = jnp.asarray(tables.mat_warp_step).dtype
+        zf = jnp.zeros(shape, dt)
+        wc = Vec(zf, zf, zf, zf)
+        ws = zf
+        for m, kind in enumerate(static.mat_kinds):
+            if kind == "warp":
+                sel = mat_ids == m
+                row = tables.mat_warp_center[m]
+                wc = V.where(sel, Vec(row[0], row[1], row[2], row[3]), wc)
+                ws = jnp.where(sel, tables.mat_warp_strength[m], ws)
+    lib = E.jax_lib() if expr_mats else None
+
+    def accel(x: Vec) -> Vec:
+        if any_attractor:
+            a = M.warp_accel(wc, ws, x)   # ws == 0 where not an attractor
+        else:
+            zf = jnp.zeros_like(x.x)
+            a = Vec(zf, zf, zf, zf)
+        for m in expr_mats:
+            env = {"x": x.x, "y": x.y, "z": x.z, "w": x.w}
+            for i in range(8):
+                env[f"p{i}"] = tables.mat_expr_params[m, i]
+            comps = tuple(E.eval_ast(t, env, lib)
+                          for t in static.mat_exprs[m])
+            a = V.where(mat_ids == m, Vec(*comps), a)
+        return a
+
+    return accel
 
 
 # ---------------------------------------------------------------------------
@@ -122,9 +160,10 @@ def propagate(static, tables, org: Vec, d: Vec, mat_ids,
     dout = d
     if static.has_warp:
         wm = warp_mask(static, mat_ids)
-        wc, ws, h = warp_params(static, tables, mat_ids)
+        accel_fn = make_accel(static, tables, mat_ids)
+        h = warp_step(static, tables, mat_ids)
         mh_hit, mh_p, mh_d, mh_ent, mh_n, mh_u, mh_v = M.march_hit(
-            static, tables, org, d, wc, ws, h,
+            static, tables, org, d, accel_fn, h,
             differentiable=differentiable, active=wm)
         # logical merge, not jnp.where: Mosaic cannot lower selects between
         # i1 vectors ("Unsupported target bitwidth for truncation")

@@ -23,6 +23,57 @@ BISECT_ITERS = 10
 
 _PRIMS = ("sphere", "hyperplane", "halfspace", "cylinder")
 
+# --- Perlin noise (scalar twin of ops/shading.py::perlin2) -------------------
+
+_INV_SQRT2 = 0.7071067811865476
+_PERLIN_DIRS = ((1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0),
+                (_INV_SQRT2, _INV_SQRT2), (-_INV_SQRT2, _INV_SQRT2),
+                (_INV_SQRT2, -_INV_SQRT2), (-_INV_SQRT2, -_INV_SQRT2))
+_M32 = 0xFFFFFFFF
+
+
+def _hash2(xi: int, yi: int, seed: int) -> int:
+    """uint32 lattice hash — exact twin of the XLA/C++ versions (Python ints
+    masked to 32 bits reproduce uint32 wraparound bit-for-bit)."""
+    n = (xi * 374761393 + yi * 668265263 + ((seed * 974711) & _M32)) & _M32
+    n = ((n ^ (n >> 13)) * 1274126177) & _M32
+    return n ^ (n >> 16)
+
+
+def _fade(t):
+    return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+
+def _perlin2(pu: float, pv: float, seed: int) -> float:
+    x0f, y0f = np.floor(pu), np.floor(pv)
+    xf, yf = pu - x0f, pv - y0f
+    # int32 cast then uint32 reinterpret, matching the jnp path exactly
+    x0 = int(np.int32(x0f)) & _M32
+    y0 = int(np.int32(y0f)) & _M32
+
+    def gd(cx, cy, dx, dy):
+        h = _hash2((x0 + cx) & _M32, (y0 + cy) & _M32, seed) & 7
+        gx, gy = _PERLIN_DIRS[h]
+        return gx * dx + gy * dy
+
+    n00 = gd(0, 0, xf, yf)
+    n01 = gd(1, 0, xf - 1.0, yf)
+    n10 = gd(0, 1, xf, yf - 1.0)
+    n11 = gd(1, 1, xf - 1.0, yf - 1.0)
+    sx, sy = _fade(xf), _fade(yf)
+    nx0 = n00 + sx * (n01 - n00)
+    nx1 = n10 + sx * (n11 - n10)
+    return nx0 + sy * (nx1 - nx0)
+
+
+def _perlin_fbm(pu: float, pv: float, octaves: int, seed: int) -> float:
+    acc, amp, freq = 0.0, 1.0, 1.0
+    for o in range(octaves):
+        acc += amp * _perlin2(pu * freq, pv * freq, seed + o)
+        amp *= 0.5
+        freq *= 2.0
+    return min(1.0, max(0.0, 0.5 + 0.5 * acc))
+
 
 class Oracle:
     def __init__(self, static, tables):
@@ -34,6 +85,7 @@ class Oracle:
         self.mat_wc = np.asarray(tables.mat_warp_center, np.float64)
         self.mat_ws = np.asarray(tables.mat_warp_strength, np.float64)
         self.mat_wh = np.asarray(tables.mat_warp_step, np.float64)
+        self.mat_ep = np.asarray(tables.mat_expr_params, np.float64)
         self.surf_color = np.asarray(tables.surf_color, np.float64)
         self.surf_color2 = np.asarray(tables.surf_color2, np.float64)
         self.surf_refl = np.asarray(tables.surf_refl, np.float64)
@@ -223,9 +275,23 @@ class Oracle:
                 best = (h[0], ei, h[1], h[2], h[3])
         return best
 
+    def accel(self, mat, x):
+        """March acceleration field of a warped material at point x —
+        the attractor formula for 'warp', the compiled expression field
+        for 'expr' (scene/expr.py; same ASTs the TPU backends burn in)."""
+        if self.st.mat_kinds[mat] == "warp":
+            dvec = self.mat_wc[mat] - x
+            r2 = float(np.dot(dvec, dvec)) + 1e-4
+            return self.mat_ws[mat] * dvec * r2 ** -1.5
+        from ..scene import expr as E
+        env = {"x": x[0], "y": x[1], "z": x[2], "w": x[3]}
+        for i in range(8):
+            env[f"p{i}"] = self.mat_ep[mat, i]
+        lib = E.numpy_lib()
+        return np.array([float(E.eval_ast(t, env, lib))
+                         for t in self.st.mat_exprs[mat]], np.float64)
+
     def march_hit(self, o, d, mat):
-        wc = self.mat_wc[mat]
-        ws = self.mat_ws[mat]
         h = self.mat_wh[mat]
         x = o.copy()
         v = d.copy()
@@ -234,9 +300,7 @@ class Oracle:
         for _ in range(self.st.march_steps):
             if dist > self.st.t_max:
                 return None
-            dvec = wc - x
-            r2 = float(np.dot(dvec, dvec)) + 1e-4
-            a = ws * dvec * r2 ** -1.5
+            a = self.accel(mat, x)
             v1 = v + h * a
             v1 = v1 / max(np.linalg.norm(v1), 1e-20)
             x1 = x + h * v1
@@ -295,6 +359,11 @@ class Oracle:
             f = 0.25 * (1.0 + np.sin(2 * np.pi * u * sc)) \
                      * (1.0 + np.sin(2 * np.pi * v * sc))
             return col + (self.surf_color2[s] - col) * f
+        if kind == "perlin":
+            octaves, seed = self.st.surf_perlin[s]
+            sc = self.surf_uvs[s]
+            f = _perlin_fbm(u * sc, v * sc, octaves, seed)
+            return col + (self.surf_color2[s] - col) * f
         if kind == "texture":
             tex = self.textures[self.st.surf_texture[s]]
             th, tw = tex.shape[:2]
@@ -312,7 +381,7 @@ class Oracle:
     # -- the recursion (SEMANTICS.md 'trace') --------------------------------
 
     def trace(self, o, d, mat, depth, weight=1.0):
-        is_warp = self.st.mat_kinds[mat] == "warp"
+        is_warp = self.st.mat_kinds[mat] in ("warp", "expr")
         if is_warp:
             mh = self.march_hit(o, d, mat)
             if mh is None:

@@ -14,8 +14,11 @@
 //   node_kind: 0 sphere, 1 hyperplane, 2 halfspace, 3 cylinder (two shape
 //              rows: [row] center + radius, [row+1] unit axis),
 //              4 union, 5 intersection, 6 difference, 7 symdiff, 8 complement
-//   mat_kind:  0 vacuum, 1 dielectric, 2 warp
-//   surf_kind: 0 uniform, 1 checker, 2 smooth, 3 texture
+//   mat_kind:  0 vacuum, 1 dielectric, 2 warp, 3 expr (postfix acceleration
+//              programs compiled by scene/expr.py::to_postfix; evaluated by
+//              the stack VM below with the same arithmetic as the NumPy/JAX
+//              evaluators)
+//   surf_kind: 0 uniform, 1 checker, 2 smooth, 3 texture, 4 perlin
 
 #include <cmath>
 #include <cstdint>
@@ -29,6 +32,53 @@ constexpr double PROBE = 2e-4;
 constexpr double PUSH = 1e-3;
 constexpr double W_EPS = 1e-4;
 constexpr int BISECT_ITERS = 10;
+
+// --- Perlin noise (exact twin of ops/shading.py::perlin2) -------------------
+
+constexpr double INV_SQRT2 = 0.7071067811865476;
+constexpr double PERLIN_DIRS[8][2] = {
+    {1.0, 0.0}, {-1.0, 0.0}, {0.0, 1.0}, {0.0, -1.0},
+    {INV_SQRT2, INV_SQRT2}, {-INV_SQRT2, INV_SQRT2},
+    {INV_SQRT2, -INV_SQRT2}, {-INV_SQRT2, -INV_SQRT2}};
+
+static inline uint32_t hash2(uint32_t xi, uint32_t yi, uint32_t seed) {
+    uint32_t n = xi * 374761393u + yi * 668265263u + seed * 974711u;
+    n = (n ^ (n >> 13)) * 1274126177u;
+    return n ^ (n >> 16);
+}
+
+static inline double fade(double t) {
+    return t * t * t * (t * (t * 6.0 - 15.0) + 10.0);
+}
+
+static inline double perlin2(double pu, double pv, uint32_t seed) {
+    double x0f = std::floor(pu), y0f = std::floor(pv);
+    double xf = pu - x0f, yf = pv - y0f;
+    uint32_t x0 = (uint32_t)(int32_t)x0f, y0 = (uint32_t)(int32_t)y0f;
+    auto gd = [&](uint32_t cx, uint32_t cy, double dx, double dy) {
+        uint32_t h = hash2(x0 + cx, y0 + cy, seed) & 7u;
+        return PERLIN_DIRS[h][0] * dx + PERLIN_DIRS[h][1] * dy;
+    };
+    double n00 = gd(0, 0, xf, yf);
+    double n01 = gd(1, 0, xf - 1.0, yf);
+    double n10 = gd(0, 1, xf, yf - 1.0);
+    double n11 = gd(1, 1, xf - 1.0, yf - 1.0);
+    double sx = fade(xf), sy = fade(yf);
+    double nx0 = n00 + sx * (n01 - n00);
+    double nx1 = n10 + sx * (n11 - n10);
+    return nx0 + sy * (nx1 - nx0);
+}
+
+static inline double perlin_fbm(double pu, double pv, int octaves,
+                                uint32_t seed) {
+    double acc = 0.0, amp = 1.0, freq = 1.0;
+    for (int o = 0; o < octaves; o++) {
+        acc += amp * perlin2(pu * freq, pv * freq, seed + (uint32_t)o);
+        amp *= 0.5;
+        freq *= 2.0;
+    }
+    return std::min(1.0, std::max(0.0, 0.5 + 0.5 * acc));
+}
 
 struct V4 {
     double x, y, z, w;
@@ -53,10 +103,15 @@ struct Scene {
     int n_mat;
     const int32_t *mat_kind;
     const double *mat_ior, *mat_wc, *mat_ws, *mat_wh;
+    const double *mat_ep;      // [n_mat * 8] p0..p7
+    const int32_t *expr_ops;   // postfix programs, 4 per material
+    const double *expr_vals;   // operand per op
+    const int32_t *expr_off;   // n_mat*4+1 slice offsets into ops/vals
     int n_surf;
     const int32_t *surf_kind;
     const double *surf_color, *surf_color2, *surf_refl, *surf_fres, *surf_uvs;
     const int32_t *surf_tex;
+    const int32_t *surf_poct, *surf_pseed;   // perlin octaves / seed per surf
     const double *portal_lin, *portal_tr;
     const double *tex_data;
     const int32_t *tex_off, *tex_h, *tex_w;
@@ -285,6 +340,14 @@ struct Scene {
             for (int i = 0; i < 4; i++) rgba[i] = c[i] + (c2[i] - c[i]) * f;
             return;
         }
+        if (k == 4) {  // perlin
+            double sc = surf_uvs[s];
+            double f = perlin_fbm(u * sc, v * sc, surf_poct[s],
+                                  (uint32_t)surf_pseed[s]);
+            const double* c2 = surf_color2 + 4 * s;
+            for (int i = 0; i < 4; i++) rgba[i] = c[i] + (c2[i] - c[i]) * f;
+            return;
+        }
         // texture
         int tid = surf_tex[s];
         int th = tex_h[tid], tw = tex_w[tid];
@@ -310,21 +373,84 @@ struct Scene {
         rgba[3] = c[3];
     }
 
+    // ---- expression VM (scene/expr.py opcode table) --------------------------
+    double eval_prog(int prog, const double* vars) const {
+        int lo = expr_off[prog], hi = expr_off[prog + 1];
+        double st[64];
+        int sp = 0;
+        for (int i = lo; i < hi; i++) {
+            double val = expr_vals[i];
+            switch (expr_ops[i]) {
+            case 0: st[sp++] = val; break;                        // const
+            case 1: st[sp++] = vars[(int)val]; break;             // var
+            case 2: sp--; st[sp - 1] += st[sp]; break;            // add
+            case 3: sp--; st[sp - 1] -= st[sp]; break;            // sub
+            case 4: sp--; st[sp - 1] *= st[sp]; break;            // mul
+            case 5: sp--; st[sp - 1] /= st[sp]; break;            // div
+            case 6: st[sp - 1] = -st[sp - 1]; break;              // neg
+            case 7: {                                             // powi
+                int n = (int)val;
+                if (n == 0) { st[sp - 1] = 1.0; break; }
+                double a = st[sp - 1], acc = a;
+                for (int k = 1; k < (n < 0 ? -n : n); k++) acc *= a;
+                st[sp - 1] = n < 0 ? 1.0 / acc : acc;
+                break;
+            }
+            case 8:  // powf: exp(b * log(a)), matching eval_ast exactly
+                sp--;
+                st[sp - 1] = std::exp(st[sp] * std::log(st[sp - 1]));
+                break;
+            case 9:  st[sp - 1] = std::sin(st[sp - 1]); break;
+            case 10: st[sp - 1] = std::cos(st[sp - 1]); break;
+            case 11: st[sp - 1] = std::tanh(st[sp - 1]); break;
+            case 12: st[sp - 1] = std::exp(st[sp - 1]); break;
+            case 13: st[sp - 1] = std::log(st[sp - 1]); break;
+            case 14: st[sp - 1] = std::sqrt(st[sp - 1]); break;
+            case 15: st[sp - 1] = std::fabs(st[sp - 1]); break;
+            case 16: st[sp - 1] = std::floor(st[sp - 1]); break;
+            case 17:                                              // sign
+                st[sp - 1] = (st[sp - 1] > 0.0) - (st[sp - 1] < 0.0);
+                break;
+            case 18: st[sp - 1] = std::atan(st[sp - 1]); break;
+            case 19: st[sp - 1] = std::asin(st[sp - 1]); break;
+            case 20: st[sp - 1] = std::acos(st[sp - 1]); break;
+            case 21: sp--; st[sp - 1] = std::min(st[sp - 1], st[sp]); break;
+            case 22: sp--; st[sp - 1] = std::max(st[sp - 1], st[sp]); break;
+            case 23: sp--; st[sp - 1] = std::atan2(st[sp - 1], st[sp]); break;
+            }
+        }
+        return st[0];
+    }
+
+    // acceleration field of a warped material (kind 2 attractor, kind 3 expr)
+    V4 accel(int mat, V4 x) const {
+        if (mat_kind[mat] == 2) {
+            V4 wc = {mat_wc[4 * mat], mat_wc[4 * mat + 1],
+                     mat_wc[4 * mat + 2], mat_wc[4 * mat + 3]};
+            V4 dv = wc - x;
+            double r2 = dot(dv, dv) + 1e-4;
+            return (mat_ws[mat] * std::pow(r2, -1.5)) * dv;
+        }
+        double vars[12] = {x.x, x.y, x.z, x.w,
+                           mat_ep[8 * mat], mat_ep[8 * mat + 1],
+                           mat_ep[8 * mat + 2], mat_ep[8 * mat + 3],
+                           mat_ep[8 * mat + 4], mat_ep[8 * mat + 5],
+                           mat_ep[8 * mat + 6], mat_ep[8 * mat + 7]};
+        return {eval_prog(4 * mat, vars), eval_prog(4 * mat + 1, vars),
+                eval_prog(4 * mat + 2, vars), eval_prog(4 * mat + 3, vars)};
+    }
+
     // ---- march (SEMANTICS.md 'warp') ---------------------------------------
     bool march_hit(V4 o, V4 d, int mat, V4* hp, V4* hd, int* hent,
                    V4* hn, double* hu, double* hv) const {
-        V4 wc = {mat_wc[4 * mat], mat_wc[4 * mat + 1], mat_wc[4 * mat + 2],
-                 mat_wc[4 * mat + 3]};
-        double ws = mat_ws[mat], h = mat_wh[mat];
+        double h = mat_wh[mat];
         V4 x = o, v = d;
         bool sides[64];
         for (int e = 0; e < n_ent; e++) sides[e] = sideP(ent_root[e], x);
         double dist = 0.0;
         for (int step = 0; step < march_steps; step++) {
             if (dist > t_max) return false;
-            V4 dv = wc - x;
-            double r2 = dot(dv, dv) + 1e-4;
-            V4 a = (ws * std::pow(r2, -1.5)) * dv;
+            V4 a = accel(mat, x);
             V4 v1 = normalize(v + h * a);
             V4 x1 = x + h * v1;
             bool crossed_any = false;
@@ -382,7 +508,7 @@ struct Scene {
         V4 p, dout, n;
         double u, v;
         int ei;
-        if (mat_kind[mat] == 2) {
+        if (mat_kind[mat] == 2 || mat_kind[mat] == 3) {
             if (!march_hit(o, d, mat, &p, &dout, &ei, &n, &u, &v)) {
                 std::memcpy(rgb, background, 3 * sizeof(double));
                 return;
@@ -480,10 +606,13 @@ void euclider_oracle_render(
     const double* shape_vec, const double* shape_sc,
     int n_mat, const int32_t* mat_kind, const double* mat_ior,
     const double* mat_wc, const double* mat_ws, const double* mat_wh,
+    const double* mat_ep, const int32_t* expr_ops, const double* expr_vals,
+    const int32_t* expr_off,
     int n_surf, const int32_t* surf_kind, const double* surf_color,
     const double* surf_color2, const double* surf_refl,
     const double* surf_fres, const double* surf_uvs,
     const int32_t* surf_tex,
+    const int32_t* surf_poct, const int32_t* surf_pseed,
     const double* portal_lin, const double* portal_tr,
     const double* tex_data, const int32_t* tex_off, const int32_t* tex_h,
     const int32_t* tex_w,
@@ -495,8 +624,9 @@ void euclider_oracle_render(
             n_nodes, node_kind, node_row, node_cstart, node_ccount, child_idx,
             shape_vec, shape_sc,
             n_mat, mat_kind, mat_ior, mat_wc, mat_ws, mat_wh,
+            mat_ep, expr_ops, expr_vals, expr_off,
             n_surf, surf_kind, surf_color, surf_color2, surf_refl, surf_fres,
-            surf_uvs, surf_tex, portal_lin, portal_tr,
+            surf_uvs, surf_tex, surf_poct, surf_pseed, portal_lin, portal_tr,
             tex_data, tex_off, tex_h, tex_w,
             background, ambient, max_depth, march_steps, t_max};
 

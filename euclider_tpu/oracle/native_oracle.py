@@ -24,8 +24,27 @@ _LIB = os.path.join(_HERE, "native", "liboracle.so")
 NODE_KINDS = {"sphere": 0, "hyperplane": 1, "halfspace": 2, "cylinder": 3,
               "union": 4, "intersection": 5, "difference": 6, "symdiff": 7,
               "complement": 8}
-MAT_KINDS = {"vacuum": 0, "dielectric": 1, "warp": 2}
-SURF_KINDS = {"uniform": 0, "checker": 1, "smooth": 2, "texture": 3}
+MAT_KINDS = {"vacuum": 0, "dielectric": 1, "warp": 2, "expr": 3}
+SURF_KINDS = {"uniform": 0, "checker": 1, "smooth": 2, "texture": 3,
+              "perlin": 4}
+
+
+def _encode_exprs(static):
+    """Postfix programs for 'expr' materials: 4 component programs per
+    material (empty slices for non-expr kinds) — scene/expr.py opcodes."""
+    from ..scene import expr as E
+
+    ops, vals, off = [], [], [0]
+    for m, kind in enumerate(static.mat_kinds):
+        for c in range(4):
+            if kind == "expr":
+                o, v = E.to_postfix(static.mat_exprs[m][c])
+                ops.extend(o)
+                vals.extend(v)
+            off.append(len(ops))
+    return (np.asarray(ops if ops else [0], np.int32),
+            np.asarray(vals if vals else [0.0], np.float64),
+            np.asarray(off, np.int32))
 
 
 def build(force: bool = False) -> str:
@@ -87,6 +106,9 @@ def render_native(static, tables, cam, H: int, W: int) -> np.ndarray:
     mat_kind = np.asarray([MAT_KINDS[k] for k in static.mat_kinds], np.int32)
     surf_kind = np.asarray([SURF_KINDS[k] for k in static.surf_kinds], np.int32)
     surf_tex = np.asarray(static.surf_texture, np.int32)
+    sp = static.surf_perlin or ((None,) * len(static.surf_kinds))
+    surf_poct = np.asarray([1 if p is None else p[0] for p in sp], np.int32)
+    surf_pseed = np.asarray([0 if p is None else p[1] for p in sp], np.int32)
 
     texs = [np.asarray(t, np.float64) for t in tables.textures]
     if texs:
@@ -129,6 +151,8 @@ def render_native(static, tables, cam, H: int, W: int) -> np.ndarray:
     mwc = f64(tables.mat_warp_center)
     mws = f64(tables.mat_warp_strength)
     mwh = f64(tables.mat_warp_step)
+    mep = f64(tables.mat_expr_params)
+    eops, evals, eoff = _encode_exprs(static)
     ucol = f64(tables.surf_color)
     ucol2 = f64(tables.surf_color2)
     urefl = f64(tables.surf_refl)
@@ -146,8 +170,10 @@ def render_native(static, tables, cam, H: int, W: int) -> np.ndarray:
         f64p(sv), f64p(sc),
         ctypes.c_int(len(mat_kind)), i32p(mat_kind), f64p(mior), f64p(mwc),
         f64p(mws), f64p(mwh),
+        f64p(mep), i32p(eops), f64p(np.ascontiguousarray(evals)), i32p(eoff),
         ctypes.c_int(len(surf_kind)), i32p(surf_kind), f64p(ucol), f64p(ucol2),
         f64p(urefl), f64p(ufres), f64p(uuvs), i32p(surf_tex),
+        i32p(surf_poct), i32p(surf_pseed),
         f64p(plin), f64p(ptr_),
         f64p(np.ascontiguousarray(tex_data)), i32p(tex_off), i32p(tex_h),
         i32p(tex_w),

@@ -15,7 +15,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
-from . import ir
+from . import expr, ir
 
 # --- static shape tree ------------------------------------------------------
 # A ShapeNode is a nested tuple:
@@ -60,10 +60,16 @@ class SceneStatic:
     surf_refl0: Tuple[bool, ...] = ()    # reflectivity AND fresnel == 0
     surf_need_uv: Tuple[bool, ...] = ()  # color depends on the UV coords
     surf_fres0: Tuple[bool, ...] = ()    # fresnel statically == 0
+    # Per-material acceleration-field ASTs for 'expr' materials (scene/expr
+    # .py): (ax, ay, az, aw) tuples, or None for non-expr materials.  ASTs
+    # are nested tuples -> hashable -> burned into the traced program.
+    mat_exprs: Tuple[Optional[Tuple], ...] = ()
+    # (octaves, seed) per 'perlin' surface, None otherwise
+    surf_perlin: Tuple[Optional[Tuple[int, int]], ...] = ()
 
     @property
     def has_warp(self) -> bool:
-        return any(k == "warp" for k in self.mat_kinds)
+        return any(k in ("warp", "expr") for k in self.mat_kinds)
 
     @property
     def has_portal(self) -> bool:
@@ -83,6 +89,7 @@ class SceneTables(NamedTuple):
     mat_warp_center: np.ndarray    # [M, 4]
     mat_warp_strength: np.ndarray  # [M]
     mat_warp_step: np.ndarray      # [M]
+    mat_expr_params: np.ndarray    # [M, 8] p0..p7 for 'expr' materials
     surf_color: np.ndarray    # [U, 4] rgba
     surf_color2: np.ndarray   # [U, 4] rgba (checker second color)
     surf_refl: np.ndarray     # [U]
@@ -141,6 +148,8 @@ def _mat_kind(m: ir.Material) -> str:
         return "dielectric"
     if isinstance(m, ir.WarpSpace):
         return "warp"
+    if isinstance(m, ir.ExprSpace):
+        return "expr"
     raise TypeError(f"unknown material {m!r}")
 
 
@@ -151,6 +160,8 @@ def _surf_kind(s: ir.Surface) -> str:
         return "checker"
     if isinstance(s, ir.SmoothSurface):
         return "smooth"
+    if isinstance(s, ir.PerlinSurface):
+        return "perlin"
     if isinstance(s, ir.TextureSurface):
         return "texture"
     raise TypeError(f"unknown surface {s!r}")
@@ -228,7 +239,8 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
     def _alpha1(s: ir.Surface) -> bool:
         if isinstance(s, ir.UniformSurface):
             return s.color[3] == 1.0
-        if isinstance(s, (ir.CheckerSurface, ir.SmoothSurface)):
+        if isinstance(s, (ir.CheckerSurface, ir.SmoothSurface,
+                          ir.PerlinSurface)):
             return s.color[3] == 1.0 and s.color2[3] == 1.0
         if isinstance(s, ir.TextureSurface):
             return s.alpha == 1.0
@@ -261,6 +273,14 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
         surf_refl0=tuple(_refl0(s) for s in surfaces),
         surf_need_uv=tuple(_need_uv(s) for s in surfaces),
         surf_fres0=tuple(s.fresnel == 0.0 for s in surfaces),
+        mat_exprs=tuple(
+            (expr.parse(m.ax), expr.parse(m.ay),
+             expr.parse(m.az), expr.parse(m.aw))
+            if isinstance(m, ir.ExprSpace) else None
+            for m in materials),
+        surf_perlin=tuple(
+            (s.octaves, s.seed) if isinstance(s, ir.PerlinSurface) else None
+            for s in surfaces),
     )
 
     M, U, P = len(materials), len(surfaces), len(portals)
@@ -268,6 +288,7 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
     mat_wc = np.zeros((M, 4), np.float32)
     mat_ws = np.zeros(M, np.float32)
     mat_wh = np.full(M, 0.05, np.float32)
+    mat_ep = np.zeros((M, 8), np.float32)
     for i, m in enumerate(materials):
         if isinstance(m, ir.Dielectric):
             mat_ior[i] = m.ior
@@ -276,6 +297,10 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
             mat_wc[i] = m.center
             mat_ws[i] = m.strength
             mat_wh[i] = m.step
+        elif isinstance(m, ir.ExprSpace):
+            mat_ior[i] = m.ior
+            mat_wh[i] = m.step
+            mat_ep[i, :len(m.params)] = m.params
 
     s_col = np.zeros((U, 4), np.float32)
     s_col2 = np.zeros((U, 4), np.float32)
@@ -287,7 +312,8 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
         if isinstance(s, ir.UniformSurface):
             s_col[i] = s.color
             s_refl[i] = s.reflectivity
-        elif isinstance(s, (ir.CheckerSurface, ir.SmoothSurface)):
+        elif isinstance(s, (ir.CheckerSurface, ir.SmoothSurface,
+                            ir.PerlinSurface)):
             s_col[i] = s.color
             s_col2[i] = s.color2
             s_refl[i] = s.reflectivity
@@ -310,6 +336,7 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
         mat_warp_center=mat_wc,
         mat_warp_strength=mat_ws,
         mat_warp_step=mat_wh,
+        mat_expr_params=mat_ep,
         surf_color=s_col,
         surf_color2=s_col2,
         surf_refl=s_refl,

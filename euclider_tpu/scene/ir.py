@@ -152,7 +152,40 @@ class WarpSpace:
         object.__setattr__(self, "center", _pad4(self.center))
 
 
-Material = Union[Vacuum, Dielectric, WarpSpace]
+@dataclass(frozen=True)
+class ExprSpace:
+    """Expression-driven non-Euclidean space (the reference's
+    ComponentTransformation-style warped material, SURVEY.md §2.1
+    'Materials & transitions': behaviour written as math expressions and
+    parsed at scene-load time).
+
+    ``ax..aw`` are expressions in ``x y z w`` (ray position) and ``p0..p7``
+    (the differentiable ``params``) giving the per-step acceleration field;
+    propagation integrates  v' = normalize(v + h*a(x)), x' = x + h*v' —
+    the same bounded march as WarpSpace, with an arbitrary user field.
+    Expressions compile to hashable ASTs burned into the XLA program
+    (scene/expr.py); gradients flow through ``params``.
+    """
+
+    ax: str = "0"
+    ay: str = "0"
+    az: str = "0"
+    aw: str = "0"
+    step: float = 0.05
+    ior: float = 1.0
+    params: Tuple[float, ...] = ()
+
+    def __post_init__(self):
+        from . import expr as E
+        for f in ("ax", "ay", "az", "aw"):
+            E.parse(getattr(self, f))  # validate eagerly, at IR build time
+        if len(self.params) > 8:
+            raise ValueError("ExprSpace supports at most 8 params (p0..p7)")
+        object.__setattr__(self, "params",
+                           tuple(float(p) for p in self.params))
+
+
+Material = Union[Vacuum, Dielectric, WarpSpace, ExprSpace]
 
 # ---------------------------------------------------------------------------
 # Surfaces  (reference entity/surface.rs: get_reflection_ratio /
@@ -206,6 +239,34 @@ class SmoothSurface:
 
 
 @dataclass(frozen=True)
+class PerlinSurface:
+    """Procedural Perlin-fBm surface: rgba = color + (color2-color) * f(u,v)
+    with f an ``octaves``-octave gradient-noise field over scaled UV
+    (lacunarity 2, gain 0.5, mapped to [0,1]).
+
+    The lattice hash is exact uint32 arithmetic, identical across the lax,
+    Pallas, NumPy-oracle and C++-oracle backends (ops/shading.py::perlin2;
+    docs/SEMANTICS.md pins the contract).  Reference parity: procedural
+    noise textures (SURVEY.md §8 item 5)."""
+
+    color: Tuple[float, float, float, float] = (0.05, 0.1, 0.05, 1.0)
+    color2: Tuple[float, float, float, float] = (0.7, 0.9, 0.6, 1.0)
+    uv_scale: float = 1.0
+    octaves: int = 3
+    seed: int = 0
+    reflectivity: float = 0.0
+    fresnel: float = 0.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "color", tuple(float(c) for c in self.color))
+        object.__setattr__(self, "color2", tuple(float(c) for c in self.color2))
+        if not (1 <= int(self.octaves) <= 8):
+            raise ValueError("octaves must be in [1, 8]")
+        object.__setattr__(self, "octaves", int(self.octaves))
+        object.__setattr__(self, "seed", int(self.seed))
+
+
+@dataclass(frozen=True)
 class TextureSurface:
     """Image texture sampled by UV (reference MappedTexture image path).
 
@@ -220,7 +281,8 @@ class TextureSurface:
     alpha: float = 1.0
 
 
-Surface = Union[UniformSurface, CheckerSurface, SmoothSurface, TextureSurface]
+Surface = Union[UniformSurface, CheckerSurface, SmoothSurface,
+                PerlinSurface, TextureSurface]
 
 # ---------------------------------------------------------------------------
 # Portal + Entity + Camera + Scene

@@ -8,6 +8,7 @@ per-type registry, dimension read from the scene file.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict
 
 from . import ir
@@ -41,6 +42,10 @@ def _enc_material(m: ir.Material) -> Dict[str, Any]:
     if isinstance(m, ir.WarpSpace):
         return {"type": "warp", "center": list(m.center),
                 "strength": m.strength, "step": m.step, "ior": m.ior}
+    if isinstance(m, ir.ExprSpace):
+        return {"type": "expr", "ax": m.ax, "ay": m.ay, "az": m.az,
+                "aw": m.aw, "step": m.step, "ior": m.ior,
+                "params": list(m.params)}
     raise TypeError(f"unknown material {m!r}")
 
 
@@ -55,6 +60,11 @@ def _enc_surface(s: ir.Surface) -> Dict[str, Any]:
     if isinstance(s, ir.SmoothSurface):
         return {"type": "smooth", "color": list(s.color),
                 "color2": list(s.color2), "uv_scale": s.uv_scale,
+                "reflectivity": s.reflectivity, "fresnel": s.fresnel}
+    if isinstance(s, ir.PerlinSurface):
+        return {"type": "perlin", "color": list(s.color),
+                "color2": list(s.color2), "uv_scale": s.uv_scale,
+                "octaves": s.octaves, "seed": s.seed,
                 "reflectivity": s.reflectivity, "fresnel": s.fresnel}
     if isinstance(s, ir.TextureSurface):
         return {"type": "texture", "texture_id": s.texture_id,
@@ -129,6 +139,12 @@ def _dec_material(d: Dict[str, Any]) -> ir.Material:
         return ir.WarpSpace(d.get("center", (0, 0, 0, 0)),
                             d.get("strength", 1.0), d.get("step", 0.05),
                             d.get("ior", 1.0))
+    if t == "expr":
+        return ir.ExprSpace(d.get("ax", "0"), d.get("ay", "0"),
+                            d.get("az", "0"), d.get("aw", "0"),
+                            step=d.get("step", 0.05),
+                            ior=d.get("ior", 1.0),
+                            params=tuple(d.get("params", ())))
     raise ValueError(f"unknown material type {t!r}")
 
 
@@ -149,6 +165,13 @@ def _dec_surface(d: Dict[str, Any]) -> ir.Surface:
                                 uv_scale=d.get("uv_scale", 1.0),
                                 reflectivity=d.get("reflectivity", 0.0),
                                 fresnel=fres)
+    if t == "perlin":
+        return ir.PerlinSurface(tuple(d["color"]), tuple(d["color2"]),
+                                uv_scale=d.get("uv_scale", 1.0),
+                                octaves=d.get("octaves", 3),
+                                seed=d.get("seed", 0),
+                                reflectivity=d.get("reflectivity", 0.0),
+                                fresnel=fres)
     if t == "texture":
         return ir.TextureSurface(d["texture_id"],
                                  uv_scale=d.get("uv_scale", 1.0),
@@ -158,7 +181,7 @@ def _dec_surface(d: Dict[str, Any]) -> ir.Surface:
     raise ValueError(f"unknown surface type {t!r}")
 
 
-def scene_from_dict(d: Dict[str, Any]) -> ir.Scene:
+def scene_from_dict(d: Dict[str, Any], base_dir: str = "") -> ir.Scene:
     cam = d.get("camera", {})
     st = d.get("settings", {})
     entities = []
@@ -194,10 +217,35 @@ def scene_from_dict(d: Dict[str, Any]) -> ir.Scene:
             max_nodes=st.get("max_nodes", 0),
             background=tuple(st.get("background", (0, 0, 0))),
         ),
-        textures=tuple(tuple(map(tuple, (map(tuple, row) for row in tex)))
+        textures=tuple(_dec_texture(tex, base_dir)
                        for tex in d.get("textures", ()))
         if d.get("textures") else (),
     )
+
+
+def _dec_texture(tex: Any, base_dir: str = ""):
+    """A texture entry is either an inline [th][tw][3] nested array or a
+    ``{"file": "relative.png"}`` image reference (the reference loads
+    MappedTexture images from disk via the ``image`` crate — SURVEY.md §2.1
+    'Surfaces / shading')."""
+    if isinstance(tex, dict):
+        path = tex["file"]
+        if base_dir and not os.path.isabs(path):
+            path = os.path.join(base_dir, path)
+        return load_texture_image(path)
+    return tuple(tuple(map(tuple, (map(tuple, row) for row in tex))))
+
+
+def load_texture_image(path: str):
+    """Load an image file into the IR's nested-tuple texture format
+    ([th][tw][3] floats in [0, 1])."""
+    from PIL import Image
+
+    import numpy as np
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    return tuple(tuple(tuple(px) for px in row) for row in arr.tolist())
 
 
 def save_scene(sc: ir.Scene, path: str) -> None:
@@ -207,4 +255,6 @@ def save_scene(sc: ir.Scene, path: str) -> None:
 
 def load_scene(path: str) -> ir.Scene:
     with open(path) as f:
-        return scene_from_dict(json.load(f))
+        # image-file texture refs resolve relative to the scene file
+        return scene_from_dict(json.load(f),
+                               base_dir=os.path.dirname(os.path.abspath(path)))

@@ -9,9 +9,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ir import (Camera, CheckerSurface, Csg, Dielectric, Entity, HalfSpace,
-                 Portal, RenderSettings, Scene, SmoothSurface, Sphere,
-                 TextureSurface, UniformSurface, WarpSpace)
+from .ir import (Camera, CheckerSurface, Csg, Dielectric, Entity, ExprSpace,
+                 HalfSpace, PerlinSurface, Portal, RenderSettings, Scene,
+                 SmoothSurface, Sphere, TextureSurface, UniformSurface,
+                 WarpSpace)
 
 
 def _cam3(pos, fwd, fov=60.0):
@@ -178,6 +179,66 @@ def config5_warp_portal() -> Scene:
     )
 
 
+def config6_expr_space() -> Scene:
+    """Expression-driven non-Euclidean space (reference's
+    ComponentTransformation-style material, SURVEY §2.1): the acceleration
+    field is written as math expressions over position and differentiable
+    params — here a sinusoidal shear field that makes straight edges ripple
+    when seen through the region."""
+    ripple = ExprSpace(
+        ax="p0 * sin(p1 * y + p1 * z)",
+        ay="p0 * cos(p1 * x) * 0.5",
+        az="0", aw="0",
+        step=0.06, params=(0.6, 3.0))
+    invisible = UniformSurface((0.0, 0.0, 0.0, 0.0))
+    return Scene(
+        dim=3,
+        name="config6_expr_space",
+        entities=(
+            Entity(Sphere((0.0, 0.1, -4.5), 1.5), material=ripple,
+                   surface=invisible, name="ripple_region"),
+            Entity(Sphere((0.0, 0.2, -8.5), 1.1),
+                   surface=UniformSurface((0.2, 0.7, 0.95, 1.0)),
+                   name="backdrop_sphere"),
+            Entity(Sphere((-2.4, -0.2, -7.0), 0.7),
+                   surface=UniformSurface((0.95, 0.5, 0.2, 1.0)),
+                   name="side_sphere"),
+            Entity(HalfSpace((0.0, -1.0, 0.0), 1.2),
+                   surface=CheckerSurface(uv_scale=0.7), name="floor"),
+        ),
+        camera=_cam3((0.0, 0.5, 1.2), (0.0, -0.1, -1.0), fov=65.0),
+        settings=RenderSettings(max_depth=4, march_steps=320,
+                                background=(0.04, 0.04, 0.09)),
+    )
+
+
+def perlin_probe() -> Scene:
+    """Procedural Perlin-fBm textures: a marbled sphere over noisy terrain
+    coloring (SURVEY §8 item 5 — procedural noise surfaces)."""
+    return Scene(
+        dim=3,
+        name="perlin_probe",
+        entities=(
+            Entity(Sphere((0.0, 0.0, -4.0), 1.2),
+                   surface=PerlinSurface(color=(0.1, 0.1, 0.3, 1.0),
+                                         color2=(0.9, 0.85, 0.7, 1.0),
+                                         uv_scale=4.0, octaves=4, seed=7,
+                                         reflectivity=0.1),
+                   name="marble"),
+            Entity(Sphere((2.0, -0.3, -5.5), 0.8),
+                   surface=PerlinSurface(color=(0.5, 0.2, 0.05, 1.0),
+                                         color2=(0.95, 0.7, 0.3, 1.0),
+                                         uv_scale=8.0, octaves=2, seed=42),
+                   name="rusty"),
+            Entity(HalfSpace((0.0, -1.0, 0.0), 1.2),
+                   surface=PerlinSurface(uv_scale=0.6, octaves=3),
+                   name="terrain"),
+        ),
+        camera=_cam3((0.0, 0.5, 1.0), (0.0, -0.15, -1.0)),
+        settings=RenderSettings(max_depth=2, background=(0.06, 0.07, 0.1)),
+    )
+
+
 def grad_probe() -> Scene:
     """Smooth-surface fixture for gradient tests: every color is C^inf in
     the hit position, so geometry/camera gradients are finite-difference
@@ -231,6 +292,8 @@ BUILDERS = {
     "config3_csg_textured": config3_csg_textured,
     "config4_hypersphere": config4_hypersphere,
     "config5_warp_portal": config5_warp_portal,
+    "config6_expr_space": config6_expr_space,
+    "perlin_probe": perlin_probe,
     "grad_probe": grad_probe,
     "fresnel_probe": fresnel_probe,
 }

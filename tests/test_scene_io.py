@@ -33,6 +33,33 @@ def test_shipped_scene_files_load():
         assert len(static.entities) >= 0
 
 
+def test_texture_file_reference(tmp_path):
+    """Scenes can reference image files for textures ({"file": path} —
+    reference MappedTexture image loading, SURVEY §2.1 Surfaces)."""
+    import json
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    Image.fromarray(px).save(tmp_path / "tex.png")
+
+    sc = et.get_scene("config3_csg_textured")
+    d = jsonio.scene_to_dict(sc)
+    d["textures"] = [{"file": "tex.png"}]    # relative to the scene file
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(d))
+
+    sc2 = jsonio.load_scene(str(p))
+    tex = np.asarray(sc2.textures[0], np.float32)
+    assert tex.shape == (8, 10, 3)
+    assert np.allclose(tex, px.astype(np.float32) / 255.0, atol=1e-6)
+    static, tables = et.compile_scene(sc2)   # and it compiles + renders
+    cam = et.compile_camera(sc2.camera)
+    img = np.asarray(et.render_image_jit(static, tables, cam, 8, 16))
+    assert np.isfinite(img).all()
+
+
 def test_cli_renders_png(tmp_path):
     from euclider_tpu.cli import main
     out = str(tmp_path / "x.png")
