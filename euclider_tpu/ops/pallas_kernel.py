@@ -30,15 +30,17 @@ from . import trace as T
 DEFAULT_TILE = (16, 128)
 
 
-def _pack_camera(cam: CameraParams) -> jnp.ndarray:
-    """Camera params packed into a (1, 24) f32 SMEM-friendly row."""
+def _pack_camera(cam: CameraParams, time=0.0) -> jnp.ndarray:
+    """Camera params (+ scene time, slot 17) packed into a (1, 24) f32
+    SMEM-friendly row."""
     row = jnp.concatenate([
         jnp.asarray(cam.position, jnp.float32).reshape(4),
         jnp.asarray(cam.forward, jnp.float32).reshape(4),
         jnp.asarray(cam.up, jnp.float32).reshape(4),
         jnp.asarray(cam.right, jnp.float32).reshape(4),
         jnp.reshape(jnp.asarray(cam.tan_half_fov, jnp.float32), (1,)),
-        jnp.zeros((7,), jnp.float32),
+        jnp.reshape(jnp.asarray(time, jnp.float32), (1,)),
+        jnp.zeros((6,), jnp.float32),
     ])
     return row.reshape(1, 24)
 
@@ -125,7 +127,7 @@ def _kernel(static, H, W, TH, TW, loop, cam_ref, *refs):
     org, d = T.camera_rays(cam, xi, yi, W, H)
     r, g, b = T.trace_batch(static, tables, org, d,
                             differentiable=(loop == "fori"),
-                            texture_matmul=True)
+                            texture_matmul=True, time=cam_ref[0, 17])
     out_ref[0, :, :] = r
     out_ref[1, :, :] = g
     out_ref[2, :, :] = b
@@ -138,7 +140,7 @@ def _cdiv(a, b):
 @partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
 def render_image_pallas(static, tables, cam, H: int, W: int,
                         tile=DEFAULT_TILE, loop: str = "while",
-                        interpret: bool = False):
+                        interpret: bool = False, time=0.0):
     """Render a frame with the Pallas megakernel -> [H, W, 3] float32.
 
     tile: (TILE_H, TILE_W); TILE_W should be a multiple of 128 and TILE_H a
@@ -165,7 +167,7 @@ def render_image_pallas(static, tables, cam, H: int, W: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
         interpret=interpret,
-    )(_pack_camera(cam), *views)
+    )(_pack_camera(cam, time), *views)
     return jnp.transpose(out[:, :H, :W], (1, 2, 0))
 
 

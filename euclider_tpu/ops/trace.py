@@ -83,7 +83,7 @@ def warp_step(static, tables, mat_ids):
     return h
 
 
-def make_accel(static, tables, mat_ids):
+def make_accel(static, tables, mat_ids, time=0.0):
     """Acceleration field a(x) for marching rays, per-ray-dispatched over
     the scene's warped materials (compile-time specialised like everything
     else): 'warp' materials contribute the attractor field, 'expr' materials
@@ -113,7 +113,7 @@ def make_accel(static, tables, mat_ids):
             zf = jnp.zeros_like(x.x)
             a = Vec(zf, zf, zf, zf)
         for m in expr_mats:
-            env = {"x": x.x, "y": x.y, "z": x.z, "w": x.w}
+            env = {"x": x.x, "y": x.y, "z": x.z, "w": x.w, "t": time}
             for i in range(8):
                 env[f"p{i}"] = tables.mat_expr_params[m, i]
             comps = tuple(E.eval_ast(t, env, lib)
@@ -152,7 +152,7 @@ def nearest_hit_straight(static, tables, org: Vec, d: Vec):
 
 
 def propagate(static, tables, org: Vec, d: Vec, mat_ids,
-              differentiable: bool = False):
+              differentiable: bool = False, time=0.0):
     """One segment: from org along d inside material mat_ids until the first
     entity boundary.  Returns (hit, p, dir_at_hit, ent, normal, u, v)."""
     t, hit, ent, n, u, v = nearest_hit_straight(static, tables, org, d)
@@ -160,7 +160,7 @@ def propagate(static, tables, org: Vec, d: Vec, mat_ids,
     dout = d
     if static.has_warp:
         wm = warp_mask(static, mat_ids)
-        accel_fn = make_accel(static, tables, mat_ids)
+        accel_fn = make_accel(static, tables, mat_ids, time)
         h = warp_step(static, tables, mat_ids)
         mh_hit, mh_p, mh_d, mh_ent, mh_n, mh_u, mh_v = M.march_hit(
             static, tables, org, d, accel_fn, h,
@@ -210,7 +210,7 @@ def write_slot(slots, idx, mask, val, kmax=None):
 
 def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
                 differentiable, used_surfs, do_transmit, do_reflect,
-                depth_ge2, texture_matmul=False):
+                depth_ge2, texture_matmul=False, time=0.0):
     """Shade one DFS node: propagate to the nearest boundary, accumulate the
     local color term, and emit up to two deferred branches.
 
@@ -226,7 +226,7 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
     zf = jnp.zeros(bshape, dt)
 
     hit, p, dout, ent, n, u, v = propagate(static, tables, org, d, mat,
-                                           differentiable)
+                                           differentiable, time)
     hit = hit & active
     miss = active & ~hit
 
@@ -323,7 +323,8 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
 
 
 def trace_batch(static, tables, org0: Vec, d0: Vec,
-                differentiable: bool = False, texture_matmul: bool = False):
+                differentiable: bool = False, texture_matmul: bool = False,
+                time=0.0):
     """Trace a batch of primary rays; returns (r, g, b) arrays shaped like
     org0.x.
 
@@ -365,7 +366,7 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
         jnp.full(bshape, static.ambient, jnp.int32),
         jnp.full(bshape, jnp.int32(D)), jnp.ones(bshape, bool),
         differentiable, used_surfs, do_transmit, do_reflect,
-        depth_ge2=None, texture_matmul=texture_matmul)
+        depth_ge2=None, texture_matmul=texture_matmul, time=time)
 
     if not branches:
         return ar, ag, ab
@@ -392,7 +393,8 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
         dr, dg, db, branches = _shade_node(
             static, tables, org, d, wgt, mat, depth, active,
             differentiable, used_surfs, do_transmit, do_reflect,
-            depth_ge2=(depth >= 2), texture_matmul=texture_matmul)
+            depth_ge2=(depth >= 2), texture_matmul=texture_matmul,
+            time=time)
         ar, ag, ab = ar + dr, ag + dg, ab + db
 
         for mask, val in branches:
@@ -445,16 +447,19 @@ def camera_rays(cam, xi, yi, W: int, H: int):
 
 
 def render_image(static, tables, cam, H: int, W: int,
-                 differentiable: bool = False):
+                 differentiable: bool = False, time=0.0):
     """Render a full frame with the pure-lax backend -> [H, W, 3] float32.
 
     Pass ``differentiable=True`` when taking gradients through the render.
+    ``time`` is the scene time handed to time-dependent materials (the
+    reference's ``trace(time, ...)`` argument, SURVEY.md §3.3) — a traced
+    scalar, so animating it does not recompile.
     """
     dt = jnp.asarray(tables.surf_color).dtype
     yi = jax.lax.broadcasted_iota(dt, (H, W), 0)
     xi = jax.lax.broadcasted_iota(dt, (H, W), 1)
     org, d = camera_rays(cam, xi, yi, W, H)
-    r, g, b = trace_batch(static, tables, org, d, differentiable)
+    r, g, b = trace_batch(static, tables, org, d, differentiable, time=time)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -462,7 +467,7 @@ render_image_jit = jax.jit(render_image, static_argnums=(0, 3, 4, 5))
 
 
 def render_rays(static, tables, cam, xi, yi, W: int, H: int,
-                differentiable: bool = False):
+                differentiable: bool = False, time=0.0):
     """Trace an arbitrary batch of pixel coordinates (sub-tile / sparse)."""
     org, d = camera_rays(cam, xi, yi, W, H)
-    return trace_batch(static, tables, org, d, differentiable)
+    return trace_batch(static, tables, org, d, differentiable, time=time)

@@ -76,9 +76,10 @@ def _perlin_fbm(pu: float, pv: float, octaves: int, seed: int) -> float:
 
 
 class Oracle:
-    def __init__(self, static, tables):
+    def __init__(self, static, tables, time: float = 0.0):
         self.st = static
         self.tb = tables
+        self.time = float(time)
         self.shape_vec = np.asarray(tables.shape_vec, np.float64)
         self.shape_sc = np.asarray(tables.shape_sc, np.float64)
         self.mat_ior = np.asarray(tables.mat_ior, np.float64)
@@ -284,7 +285,7 @@ class Oracle:
             r2 = float(np.dot(dvec, dvec)) + 1e-4
             return self.mat_ws[mat] * dvec * r2 ** -1.5
         from ..scene import expr as E
-        env = {"x": x[0], "y": x[1], "z": x[2], "w": x[3]}
+        env = {"x": x[0], "y": x[1], "z": x[2], "w": x[3], "t": self.time}
         for i in range(8):
             env[f"p{i}"] = self.mat_ep[mat, i]
         lib = E.numpy_lib()
@@ -468,5 +469,5 @@ class Oracle:
         return img
 
 
-def render_oracle(static, tables, cam, H, W):
-    return Oracle(static, tables).render(cam, H, W)
+def render_oracle(static, tables, cam, H, W, time: float = 0.0):
+    return Oracle(static, tables, time).render(cam, H, W)

@@ -118,6 +118,7 @@ struct Scene {
     const double *background;
     int ambient, max_depth, march_steps;
     double t_max;
+    double time;   // scene time ('t' in expression materials)
 
     V4 svec(int row) const {
         const double* p = shape_vec + 4 * row;
@@ -431,11 +432,11 @@ struct Scene {
             double r2 = dot(dv, dv) + 1e-4;
             return (mat_ws[mat] * std::pow(r2, -1.5)) * dv;
         }
-        double vars[12] = {x.x, x.y, x.z, x.w,
+        double vars[13] = {x.x, x.y, x.z, x.w,
                            mat_ep[8 * mat], mat_ep[8 * mat + 1],
                            mat_ep[8 * mat + 2], mat_ep[8 * mat + 3],
                            mat_ep[8 * mat + 4], mat_ep[8 * mat + 5],
-                           mat_ep[8 * mat + 6], mat_ep[8 * mat + 7]};
+                           mat_ep[8 * mat + 6], mat_ep[8 * mat + 7], time};
         return {eval_prog(4 * mat, vars), eval_prog(4 * mat + 1, vars),
                 eval_prog(4 * mat + 2, vars), eval_prog(4 * mat + 3, vars)};
     }
@@ -617,7 +618,7 @@ void euclider_oracle_render(
     const double* tex_data, const int32_t* tex_off, const int32_t* tex_h,
     const int32_t* tex_w,
     const double* background, int ambient, int max_depth, double t_max,
-    int march_steps,
+    int march_steps, double time,
     const double* cam,  // pos4 fwd4 up4 right4 tan_half_fov
     int H, int W, float* out) {
     Scene s{dim, n_ent, ent_root, ent_mat, ent_surf, ent_portal,
@@ -628,7 +629,7 @@ void euclider_oracle_render(
             n_surf, surf_kind, surf_color, surf_color2, surf_refl, surf_fres,
             surf_uvs, surf_tex, surf_poct, surf_pseed, portal_lin, portal_tr,
             tex_data, tex_off, tex_h, tex_w,
-            background, ambient, max_depth, march_steps, t_max};
+            background, ambient, max_depth, march_steps, t_max, time};
 
     // camera frame (Gram-Schmidt, same as SEMANTICS.md)
     V4 pos = {cam[0], cam[1], cam[2], cam[3]};

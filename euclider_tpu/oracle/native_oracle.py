@@ -94,7 +94,8 @@ def _encode_nodes(static):
             np.asarray(children if children else [0], np.int32))
 
 
-def render_native(static, tables, cam, H: int, W: int) -> np.ndarray:
+def render_native(static, tables, cam, H: int, W: int,
+                  time: float = 0.0) -> np.ndarray:
     lib = _lib()
     ent_root, nk, nr, ncs, ncc, cidx = _encode_nodes(static)
     ents = static.entities
@@ -179,6 +180,7 @@ def render_native(static, tables, cam, H: int, W: int) -> np.ndarray:
         i32p(tex_w),
         f64p(bg), ctypes.c_int(static.ambient), ctypes.c_int(static.max_depth),
         ctypes.c_double(static.t_max), ctypes.c_int(static.march_steps),
+        ctypes.c_double(time),
         f64p(np.ascontiguousarray(cam_arr)),
         ctypes.c_int(H), ctypes.c_int(W),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

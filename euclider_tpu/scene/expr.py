@@ -18,9 +18,11 @@ Grammar (classic precedence, ``^`` is right-associative power):
     power  := atom ('^' unary)?
     atom   := NUMBER | NAME | NAME '(' expr (',' expr)* ')' | '(' expr ')'
 
-Variables: ``x y z w`` (ray position components) and ``p0``..``p7``
+Variables: ``x y z w`` (ray position components), ``p0``..``p7``
 (differentiable per-material parameters living in SceneTables — gradients
-flow through them).  Constant: ``pi``.  Functions: ``sin cos tanh exp log
+flow through them), and ``t`` (the scene time passed to the render — the
+reference's ``trace(time, ...)`` argument, SURVEY.md §3.3; enables animated
+warped spaces).  Constant: ``pi``.  Functions: ``sin cos tanh exp log
 sqrt abs floor sign min max atan asin acos atan2`` — all built from
 Mosaic-lowerable primitives (ops.mathx supplies the arc family) so the same
 AST runs in the lax backend, the Pallas TPU kernel, and the NumPy oracle.
@@ -41,7 +43,7 @@ Ast = Tuple[Any, ...]
 _FUNCS1 = ("sin", "cos", "tanh", "exp", "log", "sqrt", "abs", "floor",
            "sign", "atan", "asin", "acos")
 _FUNCS2 = ("min", "max", "atan2")
-VARS = ("x", "y", "z", "w") + tuple(f"p{i}" for i in range(8))
+VARS = ("x", "y", "z", "w") + tuple(f"p{i}" for i in range(8)) + ("t",)
 
 
 class ExprError(ValueError):

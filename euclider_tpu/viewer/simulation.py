@@ -39,6 +39,8 @@ class Simulation:
         self.backend = backend
         self.on_frame = on_frame
         self.frame_times: List[float] = []
+        self.time = 0.0          # scene time handed to the renderer
+        self.time_step = 0.0     # per-frame increment (animated materials)
         self._render = self._make_render()
         self._pending = None  # device array in flight (double buffer)
 
@@ -46,12 +48,12 @@ class Simulation:
         if self.backend == "pallas":
             from ..ops.pallas_kernel import render_image_pallas
 
-            return lambda cam: render_image_pallas(
-                self.static, self.tables, cam, self.H, self.W)
+            return lambda cam, t: render_image_pallas(
+                self.static, self.tables, cam, self.H, self.W, time=t)
         from ..ops.trace import render_image_jit
 
-        return lambda cam: render_image_jit(
-            self.static, self.tables, cam, self.H, self.W)
+        return lambda cam, t: render_image_jit(
+            self.static, self.tables, cam, self.H, self.W, False, t)
 
     # -- input handling (the camera.update of the reference) ----------------
     def handle_keys(self, keys: str) -> None:
@@ -106,7 +108,8 @@ class Simulation:
     def step(self, frame_idx: int = 0) -> np.ndarray:
         """Render one frame; async double-buffered host gather."""
         t0 = time.time()
-        dev = self._render(self.cam)       # dispatch (non-blocking)
+        dev = self._render(self.cam, self.time)  # dispatch (non-blocking)
+        self.time += self.time_step
         prev = self._pending
         self._pending = dev
         if prev is not None:

@@ -189,6 +189,25 @@ def test_expr_pallas_interpret_matches_lax(compiled_scenes):
     assert_images_close(a, b, atol=1e-5, msg="pallas-vs-lax expr")
 
 
+def test_scene_time_plumbs_to_expressions():
+    """The render's ``time`` argument (reference trace(time, ...) —
+    SURVEY §3.3) reaches expression materials as ``t``, on every backend."""
+    sc = _tiny_expr_scene(ax="p0 * sin(p1 * z + t)")
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    a = np.asarray(et.render_image_jit(static, tables, cam, 12, 16, False,
+                                       0.0))
+    b = np.asarray(et.render_image_jit(static, tables, cam, 12, 16, False,
+                                       1.5))
+    assert np.abs(a - b).max() > 1e-3          # time animates the field
+    gold = render_oracle(static, tables, cam, 12, 16, time=1.5)
+    assert_images_close(b, gold, atol=1e-4, max_bad_frac=0.01,
+                        msg="expr time lax-vs-numpy")
+    from euclider_tpu.oracle.native_oracle import render_native
+    nat = render_native(static, tables, cam, 12, 16, time=1.5)
+    assert_images_close(nat, gold, atol=1e-6, msg="expr time native")
+
+
 def test_expr_scene_json_roundtrip(tmp_path):
     from euclider_tpu.scene import jsonio
     sc = et.get_scene("config6_expr_space")

@@ -61,13 +61,61 @@ def time_scene(name: str, tile, n=N) -> float:
     return mrays
 
 
+def time_grad(name: str, n=10, h=360, w=640) -> float:
+    """Forward+backward throughput: one jitted in-program loop of n gradient
+    evaluations of mean(render) w.r.t. scene tables + camera (the inverse-
+    rendering step's cost; lax differentiable path — the Pallas kernel's
+    custom_vjp recomputes through this same program)."""
+    sc = et.get_scene(name)
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    t32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tables)
+    base = float(cam.tan_half_fov)
+
+    from euclider_tpu.ops.trace import render_image
+
+    def loss(t, c):
+        return jnp.mean(render_image(static, t, c, h, w, True))
+
+    grad = jax.grad(loss, argnums=(0, 1))
+
+    @jax.jit
+    def loop():
+        def body(i, acc):
+            tf = jnp.float32(base) * (1.0 + 1e-6 * i.astype(jnp.float32))
+            gt, gc = grad(t32, cam._replace(tan_half_fov=tf))
+            return acc + jnp.sum(gt.surf_color) + jnp.sum(gc.position)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    t0 = time.time()
+    v = float(loop())
+    t_first = time.time() - t0
+    t0 = time.perf_counter()
+    v = float(loop())
+    dt = (time.perf_counter() - t0) / n
+    assert np.isfinite(v), v
+    mrays = h * w / dt / 1e6
+    print(f"{name:28s} fwd+bwd {h}x{w}  {dt*1e3:7.2f} ms/step  "
+          f"{mrays:8.1f} Mrays/s   (first call {t_first:.1f}s)",
+          file=sys.stderr, flush=True)
+    return mrays
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", default="config1_sphere_room")
     ap.add_argument("--tiles", default="16x128")
     ap.add_argument("--frames", type=int, default=N)
+    ap.add_argument("--grad", action="store_true",
+                    help="time fwd+bwd gradient steps instead of renders")
+    ap.add_argument("--size", default="720x1280")
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    gh, gw = (int(v) for v in args.size.split("x"))
+    if args.grad:
+        for name in args.scenes.split(","):
+            time_grad(name, max(3, args.frames // 5), gh, gw)
+        return
     tiles = [tuple(int(v) for v in t.split("x"))
              for t in args.tiles.split(",")]
     for name in args.scenes.split(","):
