@@ -172,8 +172,56 @@ def render_image_pallas(static, tables, cam, H: int, W: int,
 
 
 # ---------------------------------------------------------------------------
-# differentiable wrapper: Pallas forward, lax backward (recompute)
+# differentiable wrapper: Pallas forward, blocked lax backward (recompute)
 # ---------------------------------------------------------------------------
+
+BWD_BLOCK_ROWS = 64
+
+
+def vjp_blocked(static, tables, cam, H: int, W: int, g,
+                block_rows: int = BWD_BLOCK_ROWS, time=0.0):
+    """Backward pass of a full-frame render in row blocks.
+
+    jax.vjp of the whole-frame differentiable render materialises the
+    bounce-loop tape for every pixel at once (O(H·W·max_nodes) residuals) —
+    at 720p that is GBs and caps gradient resolution.  The pixel sum in any
+    loss is linear over rows, so the VJP is computed per row block inside a
+    lax.scan and accumulated: peak memory drops to one block's tape while
+    the math stays exactly the recompute VJP (block results are sums of
+    per-pixel cotangent contributions; padded rows carry zero cotangents and
+    contribute exactly zero).
+    """
+    import jax.numpy as jnp
+
+    bh = min(block_rows, H)
+    nb = -(-H // bh)
+    Hp = nb * bh
+    g = jnp.pad(jnp.asarray(g, jnp.float32), ((0, Hp - H), (0, 0), (0, 0)))
+    dt = jnp.asarray(tables.surf_color).dtype
+
+    def frender(y0, t, c):
+        yi = y0.astype(dt) + jax.lax.broadcasted_iota(dt, (bh, W), 0)
+        xi = jax.lax.broadcasted_iota(dt, (bh, W), 1)
+        r, gq, b = T.render_rays(static, t, c, xi, yi, W, H, True, time)
+        return jnp.stack([r, gq, b], axis=-1)
+
+    def block(carry, i):
+        gt, gc = carry
+        y0 = i * bh
+        gblk = jax.lax.dynamic_slice(g, (y0, 0, 0), (bh, W, 3))
+        _, vjp = jax.vjp(lambda t, c: frender(y0, t, c), tables, cam)
+        dgt, dgc = vjp(gblk)
+        gt = jax.tree.map(jnp.add, gt, dgt)
+        gc = jax.tree.map(jnp.add, gc, dgc)
+        return (gt, gc), None
+
+    zt = jax.tree.map(lambda a: jnp.zeros(jnp.shape(a), jnp.asarray(a).dtype),
+                      tables)
+    zc = jax.tree.map(lambda a: jnp.zeros(jnp.shape(a), jnp.asarray(a).dtype),
+                      cam)
+    (gt, gc), _ = jax.lax.scan(block, (zt, zc), jnp.arange(nb))
+    return gt, gc
+
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
 def render_image_pallas_diff(static, tables, cam, H: int, W: int):
@@ -186,9 +234,7 @@ def _fwd(static, tables, cam, H, W):
 
 def _bwd(static, H, W, res, g):
     tables, cam = res
-    _, vjp = jax.vjp(
-        lambda t, c: T.render_image(static, t, c, H, W, True), tables, cam)
-    return vjp(g)
+    return vjp_blocked(static, tables, cam, H, W, g)
 
 
 render_image_pallas_diff.defvjp(_fwd, _bwd)

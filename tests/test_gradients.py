@@ -188,3 +188,28 @@ def test_grad_warp_strength():
     ws0 = float(np.asarray(tables.mat_warp_strength)[idx])
     fd = (orc(ws0 + h) - orc(ws0 - h)) / (2 * h)
     assert np.isclose(float(g[idx]), fd, rtol=0.15, atol=1e-3)
+
+
+def test_blocked_vjp_matches_whole_frame(probe):
+    """pallas_kernel.vjp_blocked (row-blocked recompute backward) must equal
+    the whole-frame jax.vjp exactly — including with a block size that does
+    not divide H (padded rows carry zero cotangents)."""
+    from euclider_tpu.ops.pallas_kernel import vjp_blocked
+
+    _, static, tables, cam = probe
+    t32 = _tab_to_f32(tables)
+    g = np.random.default_rng(0).normal(size=(H, W, 3)).astype(np.float32)
+
+    _, vjp = jax.vjp(
+        lambda t, c: et.render_image(static, t, c, H, W, True), t32, cam)
+    gt_ref, gc_ref = vjp(jnp.asarray(g))
+    gt_blk, gc_blk = vjp_blocked(static, t32, cam, H, W, g, block_rows=7)
+
+    for a, b in zip(jax.tree.leaves((gt_ref, gc_ref)),
+                    jax.tree.leaves((gt_blk, gc_blk))):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        # blocked accumulation reassociates f32 sums: allow ~1e-3 relative
+        # to each leaf's magnitude (near-zero leaves get the atol floor)
+        tol = 1e-3 * max(np.abs(a).max(), 1.0) if a.size else 0.0
+        assert np.abs(a - b).max() <= tol, np.abs(a - b).max()
