@@ -45,6 +45,12 @@ _FUNCS1 = ("sin", "cos", "tanh", "exp", "log", "sqrt", "abs", "floor",
 _FUNCS2 = ("min", "max", "atan2")
 VARS = ("x", "y", "z", "w") + tuple(f"p{i}" for i in range(8)) + ("t",)
 
+# Evaluation-stack capacity of the C++ oracle's VM (oracle/native/oracle.cpp
+# eval_prog: `double st[VM_STACK]`).  Programs deeper than this are rejected
+# at IR-validation time so an adversarial scene JSON can never overflow the
+# native stack.
+VM_STACK = 64
+
 
 class ExprError(ValueError):
     pass
@@ -221,7 +227,8 @@ def eval_ast(node: Ast, env: Dict[str, Any], lib):
             return a - b
         if k == "mul":
             return a * b
-        return a / b
+        div = lib.get("div")
+        return div(a, b) if div is not None else a / b
     if k == "pow":
         a = eval_ast(node[1], env, lib)
         e = node[2]
@@ -230,7 +237,10 @@ def eval_ast(node: Ast, env: Dict[str, Any], lib):
         if e[0] == "num" and float(e[1]).is_integer() and abs(e[1]) <= 16:
             n = int(e[1])
             if n == 0:
-                return lib["const"](1.0) + 0.0 * a
+                # unconditional 1 (broadcast to a's shape), matching the C++
+                # VM's powi n==0 even for non-finite a — `1 + 0*a` would
+                # produce NaN there and break the bit-match contract
+                return lib["ones_like"](a)
             acc = a
             for _ in range(abs(n) - 1):
                 acc = acc * a
@@ -243,16 +253,28 @@ def eval_ast(node: Ast, env: Dict[str, Any], lib):
     raise ExprError(f"bad AST node {node!r}")
 
 
-def jax_lib():
+def jax_lib(safe: bool = False):
     """Function library for traced evaluation (lax AND Pallas backends —
-    arc functions come from ops.mathx so Mosaic can lower them)."""
+    arc functions come from ops.mathx so Mosaic can lower them).
+
+    ``safe=True`` domain-guards the partial-domain functions (sqrt, log,
+    asin, acos, div and powf through log) with the standard double-where
+    pattern: the guarded input is substituted on out-of-domain lanes BEFORE
+    the primitive runs, so neither the primal nor the VJP produces NaN/inf
+    there.  Use it whenever the expression is evaluated at positions that
+    will be masked out afterwards (ops.trace.make_accel evaluates the field
+    at every ray position and selects by material): a single NaN on a
+    masked lane would otherwise ride 0*NaN through where's VJP and poison
+    every gradient.  On domain-valid inputs safe and unsafe agree exactly,
+    so oracle parity is unaffected for well-formed scenes."""
     import jax.numpy as jnp
 
     from ..ops import mathx
 
-    return {
+    lib = {
         # weak-typed Python float: adapts to the batch dtype (f32 or f64)
         "const": float,
+        "ones_like": lambda a: jnp.ones_like(a),
         "sin": jnp.sin, "cos": jnp.cos, "tanh": jnp.tanh,
         "exp": jnp.exp, "log": jnp.log, "sqrt": jnp.sqrt,
         "abs": jnp.abs, "floor": jnp.floor, "sign": jnp.sign,
@@ -260,6 +282,33 @@ def jax_lib():
         "atan": mathx.atan, "asin": mathx.asin, "acos": mathx.acos,
         "atan2": mathx.atan2,
     }
+    if not safe:
+        return lib
+
+    def guard1(ok_fn, fn, inner, fallback):
+        """where(ok, fn(where(ok, x, inner)), fallback(x)) — both branches
+        finite everywhere, so the VJP never sees 0*NaN."""
+        def g(x):
+            ok = ok_fn(x)
+            return jnp.where(ok, fn(jnp.where(ok, x, inner)), fallback(x))
+        return g
+
+    half_pi = math.pi / 2.0
+    lib["sqrt"] = guard1(lambda x: x > 0, jnp.sqrt, 1.0,
+                         lambda x: jnp.zeros_like(x))
+    lib["log"] = guard1(lambda x: x > 0, jnp.log, 1.0,
+                        lambda x: jnp.zeros_like(x))
+    lib["asin"] = guard1(lambda x: jnp.abs(x) < 1, mathx.asin, 0.0,
+                         lambda x: jnp.sign(x) * half_pi)
+    lib["acos"] = guard1(lambda x: jnp.abs(x) < 1, mathx.acos, 0.0,
+                         lambda x: jnp.where(x > 0, 0.0, math.pi))
+
+    def safe_div(a, b):
+        ok = jnp.abs(b) > 1e-30
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    lib["div"] = safe_div
+    return lib
 
 
 def numpy_lib():
@@ -268,6 +317,7 @@ def numpy_lib():
 
     return {
         "const": float,
+        "ones_like": lambda a: np.ones_like(a),
         "sin": np.sin, "cos": np.cos, "tanh": np.tanh,
         "exp": np.exp, "log": np.log, "sqrt": np.sqrt,
         "abs": np.abs, "floor": np.floor, "sign": np.sign,
@@ -290,10 +340,50 @@ OPS = {"const": 0, "var": 1, "add": 2, "sub": 3, "mul": 4, "div": 5,
 VAR_INDEX = {v: i for i, v in enumerate(VARS)}  # x y z w p0..p7 -> 0..11
 
 
+def postfix_depth(node: Ast) -> int:
+    """Max evaluation-stack depth of the postfix lowering of ``node``.
+
+    Computed from the same emission order as to_postfix: operands are pushed
+    left-to-right, so depth(binary a op b) = max(d(a), 1 + d(b)) and calls
+    stack each argument on top of the previous ones."""
+    k = node[0]
+    if k in ("num", "var"):
+        return 1
+    if k == "neg":
+        return postfix_depth(node[1])
+    if k == "pow":
+        e = node[2]
+        if e[0] == "num" and float(e[1]).is_integer() and abs(e[1]) <= 16:
+            return postfix_depth(node[1])          # powi: in-place
+        return max(postfix_depth(node[1]), 1 + postfix_depth(e))
+    if k in ("add", "sub", "mul", "div"):
+        return max(postfix_depth(node[1]), 1 + postfix_depth(node[2]))
+    if k == "call":
+        return max(i + postfix_depth(a) for i, a in enumerate(node[2]))
+    raise ExprError(f"bad AST node {node!r}")
+
+
+def check_vm_depth(node: Ast, src: str = "") -> None:
+    """Reject expressions whose postfix program would overflow the C++
+    oracle's fixed evaluation stack (VM_STACK doubles)."""
+    d = postfix_depth(node)
+    if d > VM_STACK:
+        what = f"expression {src!r}" if src else "expression"
+        raise ExprError(
+            f"{what} needs stack depth {d}, exceeding the native VM limit "
+            f"of {VM_STACK}; flatten the nesting (left-associated chains "
+            f"evaluate in O(1) stack)")
+
+
 def to_postfix(node: Ast):
     """Lower an AST to a postfix (ops, vals) program with eval_ast's exact
     arithmetic (integer-literal powers become the same repeated-multiply
-    recurrence, others exp(b*log(a))) so C++ matches NumPy bit-for-bit."""
+    recurrence, others exp(b*log(a))) so C++ matches NumPy bit-for-bit.
+
+    Raises ExprError if the program's stack depth exceeds VM_STACK (the
+    C++ VM's fixed stack) — IR validation (ExprSpace) rejects such
+    expressions up front, this is the backstop."""
+    check_vm_depth(node)
     ops, vals = [], []
 
     def emit(op, val=0.0):

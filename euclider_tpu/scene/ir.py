@@ -178,7 +178,9 @@ class ExprSpace:
     def __post_init__(self):
         from . import expr as E
         for f in ("ax", "ay", "az", "aw"):
-            E.parse(getattr(self, f))  # validate eagerly, at IR build time
+            # validate eagerly at IR build time: syntax AND native-VM stack
+            # depth (untrusted scene JSON must not overflow the C++ oracle)
+            E.check_vm_depth(E.parse(getattr(self, f)), getattr(self, f))
         if len(self.params) > 8:
             raise ValueError("ExprSpace supports at most 8 params (p0..p7)")
         object.__setattr__(self, "params",
@@ -345,7 +347,7 @@ class RenderSettings:
     max_depth: int = 4
     t_max: float = 100.0
     march_steps: int = 256
-    max_nodes: int = 0  # 0 -> derived: 2**(max_depth+1) - 1 capped at 63
+    max_nodes: int = 0  # 0 -> derived: 2**max_depth - 1 capped at 63
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     def __post_init__(self):

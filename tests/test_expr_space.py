@@ -208,6 +208,68 @@ def test_scene_time_plumbs_to_expressions():
     assert_images_close(nat, gold, atol=1e-6, msg="expr time native")
 
 
+def test_vm_stack_depth_rejected():
+    """A right-nested expression deeper than the native VM's 64-slot stack
+    must be rejected at IR-validation time (ADVICE r2: it would corrupt the
+    C++ oracle's fixed `double st[64]`), while an equally long left-
+    associated chain (O(1) stack) must pass."""
+    deep = "x"
+    for _ in range(80):
+        deep = f"1 + ({deep})"            # right-nested: depth grows
+    assert E.postfix_depth(E.parse(deep)) > E.VM_STACK
+    with pytest.raises(E.ExprError):
+        E.to_postfix(E.parse(deep))
+    with pytest.raises(E.ExprError):
+        ir.ExprSpace(ax=deep)
+    flat = "x" + " + 1" * 200             # left-associated: depth 2
+    assert E.postfix_depth(E.parse(flat)) == 2
+    ir.ExprSpace(ax=flat)                 # accepted
+    # depth simulation matches an actual VM replay
+    src = "atan2(p0*sin(x+y*z), max(1, x^3 + (y+(z+w))))"
+    ops, vals = E.to_postfix(E.parse(src))
+    depth = cur = 0
+    inv = {v: k for k, v in E.OPS.items()}
+    for op in ops:
+        name = inv[op]
+        if name in ("const", "var"):
+            cur += 1
+        elif name in ("add", "sub", "mul", "div", "min", "max", "atan2",
+                      "powf"):
+            cur -= 1
+        depth = max(depth, cur)
+    assert E.postfix_depth(E.parse(src)) == depth
+
+
+def test_pow_zero_nonfinite_matches_vm():
+    """x^0 == 1 even for non-finite x, in eval_ast (both libs) and the C++
+    VM alike (ADVICE r2: `1 + 0*a` was NaN for a=inf/nan)."""
+    ast = E.parse("x ^ 0")
+    for bad in (np.inf, -np.inf, np.nan):
+        assert float(E.eval_ast(ast, {"x": bad}, E.numpy_lib())) == 1.0
+        got = E.eval_ast(ast, {"x": jnp.float32(bad)}, E.jax_lib())
+        assert float(got) == 1.0
+
+
+def test_partial_domain_expr_gradients_finite():
+    """A log/sqrt field whose domain excludes most of the scene must not
+    NaN the gradients of rays *outside* the material (ADVICE r2 safe-where:
+    0 * NaN used to propagate through V.where's VJP)."""
+    # domain z <= -1: valid throughout the expr sphere (z in [-5.8, -2.2])
+    # but NaN at the camera origin (z=0) where inactive rays sit
+    sc = _tiny_expr_scene(ax="p0 * sqrt(-z - 1.0)", march=48)
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    ep32 = jnp.asarray(tables.mat_expr_params, jnp.float32)
+
+    def loss(ep):
+        img = et.render_image(static, tables._replace(mat_expr_params=ep),
+                              cam, 8, 12, True)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(ep32))
+    assert np.isfinite(g).all(), g
+
+
 def test_expr_scene_json_roundtrip(tmp_path):
     from euclider_tpu.scene import jsonio
     sc = et.get_scene("config6_expr_space")
