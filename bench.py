@@ -89,20 +89,19 @@ def main() -> int:
         log("ERROR: NaNs in rendered frame")
         return 1
 
-    # quick correctness spot-check against the C++ oracle at low res
+    # correctness gate against the C++ oracle at low res (shared helper —
+    # utils/validate.py, same gate tools/perfprobe.py applies per scene)
     try:
-        from euclider_tpu.oracle.native_oracle import render_native
+        from euclider_tpu.utils.validate import oracle_check
 
         if backend == "pallas":
             from euclider_tpu.ops.pallas_kernel import render_image_pallas as rp
-            small = np.asarray(rp(static, tables, cam, 48, 128))
+            rfn = lambda st, t, c, h, w, tm: rp(st, t, c, h, w)
         else:
-            small = np.asarray(et.render_image_jit(static, tables, cam, 48, 128))
-        gold = render_native(static, tables, cam, 48, 128)
-        err = np.abs(small - gold).max(axis=-1)
-        frac = float((err < 2e-3).mean())
+            rfn = lambda st, t, c, h, w, tm: et.render_image_jit(st, t, c, h, w)
+        frac, maxerr = oracle_check(static, tables, cam, rfn)
         log(f"correctness vs C++ oracle (48x128): frac_ok={frac:.4f} "
-            f"maxerr={err.max():.2e}")
+            f"maxerr={maxerr:.2e}")
         if frac < 0.99:
             log("ERROR: correctness gate failed")
             return 1

@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 
 def _parse_size(s: str):
@@ -42,7 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend for JAX")
     p.add_argument("--time", action="store_true",
-                   help="print render timing and Mrays/s")
+                   help="print render timing and Mrays/s (RenderMeter "
+                        "JSON record, utils/profiling.py)")
+    p.add_argument("--time-frames", type=int, default=3,
+                   help="frames to average with --time (default 3)")
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="write a jax.profiler trace (TensorBoard/Perfetto) "
+                        "of the timed render to DIR")
     p.add_argument("--view", action="store_true",
                    help="interactive terminal viewer (ANSI half-blocks; "
                         "wasdqe move, jl/ik/uo look, nm/,. 4D, x quit)")
@@ -147,15 +152,16 @@ def main(argv=None) -> int:
         print(f"wrote {len(paths)} frames: {paths[0]} .. {paths[-1]}")
         return 0
 
-    t0 = time.time()
-    img = render(scene, H, W, args.backend)
-    dt = time.time() - t0
+    img = render(scene, H, W, args.backend)   # compile + first frame
     save_png(img, args.out)
     if args.time:
-        t0 = time.time()
-        img = render(scene, H, W, args.backend)
-        dt = time.time() - t0
-        print(f"{args.backend}: {dt*1000:.1f} ms ({H*W/dt/1e6:.1f} Mrays/s)")
+        from .utils.profiling import RenderMeter, profile_trace
+        meter = RenderMeter(H, W)
+        with profile_trace(args.profile_dir):
+            for _ in range(max(args.time_frames, 1)):
+                with meter.frame():
+                    img = render(scene, H, W, args.backend)
+        meter.log(args.backend)
     print(f"wrote {args.out} ({W}x{H}, backend={args.backend})")
     return 0
 

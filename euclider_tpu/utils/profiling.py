@@ -30,6 +30,12 @@ class RenderMeter:
         yield
         self.times.append(time.perf_counter() - t0)
 
+    def add(self, seconds: float, frames: int = 1) -> None:
+        """Record a timing that covered ``frames`` frames in one measurement
+        (the in-program frame loop of bench.py/perfprobe renders N frames
+        inside a single dispatch); stored as the per-frame average."""
+        self.times.extend([seconds / frames] * frames)
+
     @property
     def rays_per_frame(self) -> int:
         return self.H * self.W

@@ -26,15 +26,32 @@ import numpy as np
 
 import euclider_tpu as et
 from euclider_tpu.ops.pallas_kernel import render_image_pallas
+from euclider_tpu.utils.profiling import RenderMeter
+from euclider_tpu.utils.validate import assert_oracle_match
 
 H, W = 720, 1280
 N = 30
+
+
+def gate_scene(name: str, static, tables, cam) -> float:
+    """Oracle correctness gate: no throughput number is printed for a scene
+    whose Pallas render does not match the C++ oracle (fails loudly)."""
+    frac = assert_oracle_match(
+        static, tables, cam,
+        lambda st, t, c, h, w, tm: render_image_pallas(st, t, c, h, w,
+                                                       (16, 128), "while",
+                                                       False, tm),
+        label=name)
+    print(f"{name:28s} oracle gate: frac_ok={frac:.4f}",
+          file=sys.stderr, flush=True)
+    return frac
 
 
 def time_scene(name: str, tile, n=N) -> float:
     sc = et.get_scene(name)
     static, tables = et.compile_scene(sc)
     cam = et.compile_camera(sc.camera)
+    gate_scene(name, static, tables, cam)
     base = float(cam.tan_half_fov)
 
     @jax.jit
@@ -50,22 +67,27 @@ def time_scene(name: str, tile, n=N) -> float:
     t0 = time.time()
     v = float(loop())
     t_first = time.time() - t0
+    meter = RenderMeter(H, W)
     t0 = time.perf_counter()
     v = float(loop())
-    dt = (time.perf_counter() - t0) / n
+    meter.add(time.perf_counter() - t0, n)
     assert np.isfinite(v), v
-    mrays = H * W / dt / 1e6
-    print(f"{name:28s} tile={tile}  {dt*1e3:7.3f} ms/frame  "
+    mrays = meter.mrays_per_sec()
+    rep = meter.report(name)
+    print(f"{name:28s} tile={tile}  {rep['ms_per_frame']:7.3f} ms/frame  "
           f"{mrays:8.1f} Mrays/s   (first call {t_first:.1f}s)",
           file=sys.stderr, flush=True)
     return mrays
 
 
-def time_grad(name: str, n=10, h=360, w=640) -> float:
+def time_grad(name: str, n=10, h=360, w=640, backend="lax") -> float:
     """Forward+backward throughput: one jitted in-program loop of n gradient
     evaluations of mean(render) w.r.t. scene tables + camera (the inverse-
-    rendering step's cost; lax differentiable path — the Pallas kernel's
-    custom_vjp recomputes through this same program)."""
+    rendering step's cost).
+
+    backend: 'lax' (whole-frame differentiable lax render),
+    'pallas-kernel' (Pallas forward + dedicated Pallas backward kernel),
+    'pallas-blocked' (Pallas forward + row-blocked lax recompute)."""
     sc = et.get_scene(name)
     static, tables = et.compile_scene(sc)
     cam = et.compile_camera(sc.camera)
@@ -74,8 +96,16 @@ def time_grad(name: str, n=10, h=360, w=640) -> float:
 
     from euclider_tpu.ops.trace import render_image
 
-    def loss(t, c):
-        return jnp.mean(render_image(static, t, c, h, w, True))
+    if backend == "lax":
+        def loss(t, c):
+            return jnp.mean(render_image(static, t, c, h, w, True))
+    else:
+        from euclider_tpu.ops.pallas_kernel import render_image_pallas_diff
+        bwd = "pallas" if backend == "pallas-kernel" else "blocked"
+
+        def loss(t, c):
+            img = render_image_pallas_diff(static, t, c, h, w, 0.0, bwd)
+            return jnp.mean(img)
 
     grad = jax.grad(loss, argnums=(0, 1))
 
@@ -95,7 +125,7 @@ def time_grad(name: str, n=10, h=360, w=640) -> float:
     dt = (time.perf_counter() - t0) / n
     assert np.isfinite(v), v
     mrays = h * w / dt / 1e6
-    print(f"{name:28s} fwd+bwd {h}x{w}  {dt*1e3:7.2f} ms/step  "
+    print(f"{name:28s} fwd+bwd[{backend}] {h}x{w}  {dt*1e3:7.2f} ms/step  "
           f"{mrays:8.1f} Mrays/s   (first call {t_first:.1f}s)",
           file=sys.stderr, flush=True)
     return mrays
@@ -108,13 +138,16 @@ def main():
     ap.add_argument("--frames", type=int, default=N)
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd gradient steps instead of renders")
+    ap.add_argument("--grad-backend", default="lax",
+                    choices=["lax", "pallas-kernel", "pallas-blocked"])
     ap.add_argument("--size", default="720x1280")
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     gh, gw = (int(v) for v in args.size.split("x"))
     if args.grad:
         for name in args.scenes.split(","):
-            time_grad(name, max(3, args.frames // 5), gh, gw)
+            time_grad(name, max(3, args.frames // 5), gh, gw,
+                      args.grad_backend)
         return
     tiles = [tuple(int(v) for v in t.split("x"))
              for t in args.tiles.split(",")]
