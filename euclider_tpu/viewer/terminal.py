@@ -10,19 +10,57 @@ from the tty in raw mode without blocking the render loop.
 Controls (same bindings as viewer.simulation.Simulation.handle_keys):
   w/a/s/d/q/e  move   j/l yaw   i/k pitch   u/o roll
   n/m w-yaw    ,/. w-pitch (4D scenes)      x quit
+  mouse drag   look (xterm SGR mouse reporting — the reference's SDL2
+               mouse-look, SURVEY §2.1 Cameras, over a plain tty)
 """
 from __future__ import annotations
 
-import os
+import re
 import select
 import shutil
 import sys
-import time
-from typing import Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 ESC = "\x1b"
+
+# xterm mouse reporting: 1002 = button-event (drag) tracking, 1006 = SGR
+# extended coordinates (ESC[<b;x;yM / m)
+MOUSE_ON = f"{ESC}[?1002h{ESC}[?1006h"
+MOUSE_OFF = f"{ESC}[?1006l{ESC}[?1002l"
+_SGR_MOUSE = re.compile(r"\x1b\[<(\d+);(\d+);(\d+)([Mm])")
+
+
+class MouseParser:
+    """Split raw tty input into plain keys and mouse-drag deltas.
+
+    Feeds on the byte stream of a terminal with SGR mouse reporting on:
+    press (button 0-2, final 'M') anchors the drag, motion events (bit 32)
+    yield (dx, dy) cell deltas, release ('m') ends it.  Everything that is
+    not an SGR mouse sequence passes through as key input."""
+
+    def __init__(self):
+        self._anchor = None
+
+    def parse(self, data: str) -> Tuple[str, List[Tuple[int, int]]]:
+        moves: List[Tuple[int, int]] = []
+
+        def eat(m: "re.Match") -> str:
+            b, x, y, kind = (int(m.group(1)), int(m.group(2)),
+                             int(m.group(3)), m.group(4))
+            if kind == "m":                      # release
+                self._anchor = None
+            elif b & 32:                         # drag motion
+                if self._anchor is not None:
+                    moves.append((x - self._anchor[0], y - self._anchor[1]))
+                self._anchor = (x, y)
+            elif b & 3 != 3:                     # press (button 0/1/2)
+                self._anchor = (x, y)
+            return ""
+
+        keys = _SGR_MOUSE.sub(eat, data)
+        return keys, moves
 
 
 def frame_to_ansi(img: np.ndarray, cols: Optional[int] = None,
@@ -101,24 +139,31 @@ def run_interactive(sim, max_frames: Optional[int] = None,
     for scripted/test runs; interactive sessions quit on 'x' or Ctrl-C.
     """
     frames = 0
+    mouse = MouseParser()
     out.write(f"{ESC}[2J")  # clear once
     try:
         with _RawTTY() as tty_in:
+            if tty_in.enabled:
+                out.write(MOUSE_ON)
             while max_frames is None or frames < max_frames:
-                keys = tty_in.pending_keys()
+                keys, moves = mouse.parse(tty_in.pending_keys())
                 if "x" in keys or "\x03" in keys:
                     break
                 if keys:
                     sim.handle_keys(keys)
+                for du, dv in moves:
+                    sim.mouse_look(du, dv)
                 img = sim.step(frames)
                 out.write(f"{ESC}[H" + frame_to_ansi(img))
                 out.write(f"\n{ESC}[0m{sim.fps:5.1f} fps | wasdqe move, "
-                          f"jl/ik/uo look, nm/,. 4D, x quit\n")
+                          f"jl/ik/uo look, drag look, nm/,. 4D, x quit\n")
                 out.flush()
                 frames += 1
     except KeyboardInterrupt:
         pass
     finally:
+        if sys.stdin.isatty():
+            out.write(MOUSE_OFF)
         out.write(f"{ESC}[0m\n")
         out.flush()
     return frames

@@ -61,3 +61,33 @@ def test_save_ansi(tmp_path):
     p = str(tmp_path / "frame.ans")
     save_ansi(_img(), p, cols=16, rows=6)
     assert os.path.getsize(p) > 100
+
+
+def test_mouse_parser_drag_and_keys():
+    """SGR mouse sequences become look deltas; everything else stays keys
+    (VERDICT r2 #6: the mouse-look input path, fed by xterm reporting)."""
+    from euclider_tpu.viewer.terminal import MouseParser
+
+    mp = MouseParser()
+    # press at (10,5), drag to (13,4) then (13,7), release; 'w' key mixed in
+    data = ("w\x1b[<0;10;5M"          # left press
+            "\x1b[<32;13;4M"          # drag motion
+            "a\x1b[<32;13;7M"         # drag motion
+            "\x1b[<0;13;7m")          # release
+    keys, moves = mp.parse(data)
+    assert keys == "wa"
+    assert moves == [(3, -1), (0, 3)]
+    # after release, motion without a press is anchored fresh (no jump)
+    keys, moves = mp.parse("\x1b[<32;20;20M")
+    assert moves == []
+    keys, moves = mp.parse("\x1b[<32;22;21M")
+    assert moves == [(2, 1)]
+
+
+def test_mouse_look_turns_camera():
+    sc = et.get_scene("config1_sphere_room")
+    sim = Simulation(sc, H=8, W=12, backend="lax")
+    f0 = np.asarray(sim.cam.forward).copy()
+    sim.mouse_look(4, 0)
+    f1 = np.asarray(sim.cam.forward)
+    assert np.abs(f1 - f0).max() > 1e-3
