@@ -179,6 +179,43 @@ def config5_warp_portal() -> Scene:
     )
 
 
+def config7_warp4d() -> Scene:
+    """4D x non-Euclidean: the reference's two flagship axes combined
+    (SURVEY §3.4 + §3.5 jointly; VERDICT r2 item 8).  A hypersphere of
+    WarpSpace lenses rays in R^4, a 4D portal pair teleports transmitted
+    rays (including across w), and the camera is tilted into +w so the 4D
+    extent of every object is visible."""
+    warp = WarpSpace(center=(0.0, 0.2, -5.0, 0.0), strength=0.3, step=0.06)
+    invisible = UniformSurface((0.0, 0.0, 0.0, 0.0))
+    portal = Portal(translation=(-5.5, 0.0, -2.5, -0.4))
+    theta = 0.05  # forward tilt into +w (SURVEY §3.5 4D camera)
+    fwd = np.asarray((0.0, -0.1, -np.cos(theta), np.sin(theta)))
+    fwd = tuple(fwd / np.linalg.norm(fwd))
+    return Scene(
+        dim=4,
+        name="config7_warp4d",
+        entities=(
+            Entity(Sphere((0.0, 0.2, -5.0, 0.0), 1.6), material=warp,
+                   surface=invisible, name="warp_region4d"),
+            Entity(Sphere((2.6, 0.2, -4.0, 0.4), 0.7), portal=portal,
+                   surface=invisible, name="portal_in4d"),
+            Entity(Sphere((-2.9, 0.2, -6.5, 0.0), 0.7),
+                   surface=UniformSurface((0.95, 0.3, 0.6, 1.0)),
+                   name="portal_marker4d"),
+            Entity(Sphere((0.0, 0.2, -9.0, 0.3), 1.2),
+                   surface=UniformSurface((0.95, 0.75, 0.2, 1.0)),
+                   name="backdrop_hypersphere"),
+            Entity(HalfSpace((0.0, -1.0, 0.0, 0.0), 1.3),
+                   surface=CheckerSurface(uv_scale=0.7), name="floor"),
+        ),
+        camera=Camera(position=(0.0, 0.6, 1.5, 0.0), forward=fwd,
+                      up=(0.0, 1.0, 0.0, 0.0), right=(1.0, 0.0, 0.0, 0.0),
+                      fov_deg=70.0),
+        settings=RenderSettings(max_depth=4, march_steps=320,
+                                background=(0.03, 0.04, 0.08)),
+    )
+
+
 def config6_expr_space() -> Scene:
     """Expression-driven non-Euclidean space (reference's
     ComponentTransformation-style material, SURVEY §2.1): the acceleration
@@ -293,6 +330,7 @@ BUILDERS = {
     "config4_hypersphere": config4_hypersphere,
     "config5_warp_portal": config5_warp_portal,
     "config6_expr_space": config6_expr_space,
+    "config7_warp4d": config7_warp4d,
     "perlin_probe": perlin_probe,
     "grad_probe": grad_probe,
     "fresnel_probe": fresnel_probe,
