@@ -30,9 +30,13 @@ from . import trace as T
 DEFAULT_TILE = (16, 128)
 
 
-def _pack_camera(cam: CameraParams, time=0.0) -> jnp.ndarray:
-    """Camera params (+ scene time, slot 17) packed into a (1, 24) f32
-    SMEM-friendly row."""
+def _pack_camera(cam: CameraParams, time=0.0, y0=0.0) -> jnp.ndarray:
+    """Camera params (+ scene time, slot 17; frame row offset, slot 18)
+    packed into a (1, 24) f32 SMEM-friendly row.
+
+    ``y0`` is the global row index of this launch's first row — the sharded
+    render (parallel/mesh.py) launches one megakernel per device over its
+    row slab, offset into the global pixel grid."""
     row = jnp.concatenate([
         jnp.asarray(cam.position, jnp.float32).reshape(4),
         jnp.asarray(cam.forward, jnp.float32).reshape(4),
@@ -40,7 +44,8 @@ def _pack_camera(cam: CameraParams, time=0.0) -> jnp.ndarray:
         jnp.asarray(cam.right, jnp.float32).reshape(4),
         jnp.reshape(jnp.asarray(cam.tan_half_fov, jnp.float32), (1,)),
         jnp.reshape(jnp.asarray(time, jnp.float32), (1,)),
-        jnp.zeros((6,), jnp.float32),
+        jnp.reshape(jnp.asarray(y0, jnp.float32), (1,)),
+        jnp.zeros((5,), jnp.float32),
     ])
     return row.reshape(1, 24)
 
@@ -120,7 +125,7 @@ def _kernel(static, H, W, TH, TW, loop, cam_ref, *refs):
     iy0 = pl.program_id(0) * TH
     ix0 = pl.program_id(1) * TW
     yi = (iy0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
-          ).astype(jnp.float32)
+          ).astype(jnp.float32) + cam_ref[0, 18]
     xi = (ix0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
           ).astype(jnp.float32)
 
@@ -137,21 +142,30 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 10))
 def render_image_pallas(static, tables, cam, H: int, W: int,
                         tile=DEFAULT_TILE, loop: str = "while",
-                        interpret: bool = False, time=0.0):
-    """Render a frame with the Pallas megakernel -> [H, W, 3] float32.
+                        interpret: bool = False, time=0.0, y0=0.0,
+                        rows: int | None = None):
+    """Render a frame with the Pallas megakernel -> [rows or H, W, 3] f32.
 
     tile: (TILE_H, TILE_W); TILE_W should be a multiple of 128 and TILE_H a
     multiple of 8 for clean (sublane, lane) tiling.  loop='while' early-exits
     when every ray's stack drains; 'fori' runs the static max_nodes trips
     (used by the differentiable path).
+
+    ``y0``/``rows`` render a row slab of the global H×W frame: rays are
+    generated for global rows [y0, y0+rows) while the camera NDC mapping
+    stays the full frame's.  This is how the device-mesh sharded path
+    (parallel/mesh.py) composes with the megakernel: each chip traces its
+    own slab at full Pallas throughput.  ``y0`` is traced (a shard_map
+    axis_index), ``rows`` static.
     """
     TH, TW = tile
-    Hp, Wp = _cdiv(H, TH) * TH, _cdiv(W, TW) * TW
+    R = H if rows is None else rows
+    Rp, Wp = _cdiv(R, TH) * TH, _cdiv(W, TW) * TW
     views = _table_views(tables)
-    grid = (Hp // TH, Wp // TW)
+    grid = (Rp // TH, Wp // TW)
 
     in_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
                              memory_space=pltpu.SMEM)]
@@ -165,14 +179,14 @@ def render_image_pallas(static, tables, cam, H: int, W: int,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((3, TH, TW), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, Rp, Wp), jnp.float32),
         interpret=interpret,
-    )(_pack_camera(cam, time), *views)
-    return jnp.transpose(out[:, :H, :W], (1, 2, 0))
+    )(_pack_camera(cam, time, y0), *views)
+    return jnp.transpose(out[:, :R, :W], (1, 2, 0))
 
 
 # ---------------------------------------------------------------------------
-# differentiable wrapper: Pallas forward, blocked lax backward (recompute)
+# differentiable wrappers: Pallas forward + (Pallas | blocked-lax) backward
 # ---------------------------------------------------------------------------
 
 BWD_BLOCK_ROWS = 64
@@ -180,7 +194,7 @@ BWD_BLOCK_ROWS = 64
 
 def vjp_blocked(static, tables, cam, H: int, W: int, g,
                 block_rows: int = BWD_BLOCK_ROWS, time=0.0):
-    """Backward pass of a full-frame render in row blocks.
+    """Backward pass of a full-frame render in row blocks (lax recompute).
 
     jax.vjp of the whole-frame differentiable render materialises the
     bounce-loop tape for every pixel at once (O(H·W·max_nodes) residuals) —
@@ -190,6 +204,10 @@ def vjp_blocked(static, tables, cam, H: int, W: int, g,
     the math stays exactly the recompute VJP (block results are sums of
     per-pixel cotangent contributions; padded rows carry zero cotangents and
     contribute exactly zero).
+
+    Returns (d_tables, d_cam, d_time).  This is the fallback backward for
+    marchy (warp/expr) scenes whose march tape exceeds VMEM; straight-space
+    scenes use the Pallas backward kernel (vjp_pallas) instead.
     """
     import jax.numpy as jnp
 
@@ -198,43 +216,224 @@ def vjp_blocked(static, tables, cam, H: int, W: int, g,
     Hp = nb * bh
     g = jnp.pad(jnp.asarray(g, jnp.float32), ((0, Hp - H), (0, 0), (0, 0)))
     dt = jnp.asarray(tables.surf_color).dtype
+    time = jnp.asarray(time, dt)
 
-    def frender(y0, t, c):
+    def frender(y0, t, c, tm):
         yi = y0.astype(dt) + jax.lax.broadcasted_iota(dt, (bh, W), 0)
         xi = jax.lax.broadcasted_iota(dt, (bh, W), 1)
-        r, gq, b = T.render_rays(static, t, c, xi, yi, W, H, True, time)
+        r, gq, b = T.render_rays(static, t, c, xi, yi, W, H, True, tm)
         return jnp.stack([r, gq, b], axis=-1)
 
     def block(carry, i):
-        gt, gc = carry
+        gt, gc, gtm = carry
         y0 = i * bh
         gblk = jax.lax.dynamic_slice(g, (y0, 0, 0), (bh, W, 3))
-        _, vjp = jax.vjp(lambda t, c: frender(y0, t, c), tables, cam)
-        dgt, dgc = vjp(gblk)
+        _, vjp = jax.vjp(lambda t, c, tm: frender(y0, t, c, tm),
+                         tables, cam, time)
+        dgt, dgc, dgtm = vjp(gblk)
         gt = jax.tree.map(jnp.add, gt, dgt)
         gc = jax.tree.map(jnp.add, gc, dgc)
-        return (gt, gc), None
+        return (gt, gc, gtm + dgtm), None
 
     zt = jax.tree.map(lambda a: jnp.zeros(jnp.shape(a), jnp.asarray(a).dtype),
                       tables)
     zc = jax.tree.map(lambda a: jnp.zeros(jnp.shape(a), jnp.asarray(a).dtype),
                       cam)
-    (gt, gc), _ = jax.lax.scan(block, (zt, zc), jnp.arange(nb))
-    return gt, gc
+    (gt, gc, gtm), _ = jax.lax.scan(block, (zt, zc, jnp.zeros((), dt)),
+                                    jnp.arange(nb))
+    return gt, gc, gtm
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
-def render_image_pallas_diff(static, tables, cam, H: int, W: int):
-    return render_image_pallas(static, tables, cam, H, W)
+# --- dedicated Pallas backward kernel ---------------------------------------
+
+BWD_TILE = (8, 128)
 
 
-def _fwd(static, tables, cam, H, W):
-    return render_image_pallas(static, tables, cam, H, W), (tables, cam)
+def _bwd_kernel(static, H, W, TH, TW, n_views, cam_ref, *refs):
+    """Per-tile recompute-VJP, entirely in VMEM.
+
+    The forward megakernel's tile program is re-traced here under jax.vjp,
+    so Mosaic compiles one fused fwd+bwd kernel per tile: the bounce loop
+    re-runs in VMEM (remat'd — one carry per trip is the whole tape) and the
+    transposed sweep follows without ever touching HBM.  Per-tile gradients
+    for the (tiny, replicated) scene tables and camera are accumulated
+    across the sequential TPU grid into VMEM-resident output blocks
+    (constant index_map -> the buffer survives all grid steps and is
+    flushed once).
+    """
+    view_refs = refs[:n_views]
+    g_ref = refs[n_views]
+    out_refs = refs[n_views + 1:]     # d_cam then d_views, same order
+
+    cam_row = cam_ref[:]
+    views = tuple(r[:] for r in view_refs)
+    g_tile = g_ref[:]                 # [3, TH, TW]
+
+    iy0 = pl.program_id(0) * TH
+    ix0 = pl.program_id(1) * TW
+
+    def f(cam_row, *views):
+        cam = CameraParams(position=cam_row[0, 0:4],
+                           forward=cam_row[0, 4:8],
+                           up=cam_row[0, 8:12],
+                           right=cam_row[0, 12:16],
+                           tan_half_fov=cam_row[0, 16])
+        tables = _unpack_tables(views)
+        yi = (iy0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+              ).astype(jnp.float32)
+        xi = (ix0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+              ).astype(jnp.float32)
+        org, d = T.camera_rays(cam, xi, yi, W, H)
+        # unroll, no remat: Mosaic can lower neither the residual-stacking
+        # scan that AD makes of the fori bounce loop nor remat2 call eqns —
+        # straight-line code transposes fine and XLA schedules the tile's
+        # tape in VMEM (the auto heuristic caps max_nodes so it fits)
+        r, gq, b = T.trace_batch(static, tables, org, d,
+                                 differentiable=True, texture_matmul=True,
+                                 time=cam_row[0, 17], unroll=True)
+        return jnp.stack([r, gq, b], axis=0)
+
+    _, vjp = jax.vjp(f, cam_row, *views)
+    grads = vjp(g_tile)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for o, gr in zip(out_refs, grads):
+        @pl.when(first)
+        def _(o=o, gr=gr):
+            o[...] = gr
+
+        @pl.when(jnp.logical_not(first))
+        def _(o=o, gr=gr):
+            o[...] += gr
 
 
-def _bwd(static, H, W, res, g):
-    tables, cam = res
-    return vjp_blocked(static, tables, cam, H, W, g)
+def _unpack_tex_grad(gp, th, tw):
+    """Inverse of _pack_tex on the cotangent: packed [tw*3, th] -> [th,tw,3]."""
+    return jnp.stack([gp[c * tw:(c + 1) * tw, :].T for c in range(3)],
+                     axis=-1)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 6, 8))
+def vjp_pallas(static, tables, cam, H: int, W: int, g, tile=BWD_TILE,
+               time=0.0, interpret: bool = False):
+    """Full-frame backward through the Pallas backward kernel.
+
+    Returns (d_tables, d_cam, d_time) with dtypes matching the primals.
+    Padded tiles carry zero cotangents and contribute exactly zero."""
+    TH, TW = tile
+    Hp, Wp = _cdiv(H, TH) * TH, _cdiv(W, TW) * TW
+    views = _table_views(tables)
+    n_views = len(views)
+    grid = (Hp // TH, Wp // TW)
+
+    g = jnp.moveaxis(jnp.asarray(g, jnp.float32), -1, 0)        # [3, H, W]
+    g = jnp.pad(g, ((0, 0), (0, Hp - H), (0, Wp - W)))          # [3, Hp, Wp]
+    cam_row = _pack_camera(cam, time)
+
+    in_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    for v in views:
+        in_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((3, TH, TW), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((1, 24), jnp.float32)]
+    for v in views:
+        out_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(v.shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        partial(_bwd_kernel, static, H, W, TH, TW, n_views),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(cam_row, *views, g)
+
+    dc_row, dviews = outs[0], outs[1:]
+
+    def like(a, ref):
+        return jnp.asarray(a, jnp.asarray(ref).dtype)
+
+    d_cam = CameraParams(
+        position=like(dc_row[0, 0:4], cam.position),
+        forward=like(dc_row[0, 4:8], cam.forward),
+        up=like(dc_row[0, 8:12], cam.up),
+        right=like(dc_row[0, 12:16], cam.right),
+        tan_half_fov=like(dc_row[0, 16], cam.tan_half_fov),
+    )
+    d_time = dc_row[0, 17]
+
+    tex_grads = tuple(
+        like(_unpack_tex_grad(gv, t.shape[0], t.shape[1]), t)
+        for gv, t in zip(dviews[N_FIXED_VIEWS:], tables.textures))
+    (sv, sc, ior, wc, ws, wh, ep, col, col2, refl, fres, uvs, plin, ptr, bg
+     ) = dviews[:N_FIXED_VIEWS]
+    d_tables = SceneTables(
+        shape_vec=like(sv, tables.shape_vec),
+        shape_sc=like(sc[:, 0], tables.shape_sc),
+        mat_ior=like(ior[:, 0], tables.mat_ior),
+        mat_warp_center=like(wc, tables.mat_warp_center),
+        mat_warp_strength=like(ws[:, 0], tables.mat_warp_strength),
+        mat_warp_step=like(wh[:, 0], tables.mat_warp_step),
+        mat_expr_params=like(ep, tables.mat_expr_params),
+        surf_color=like(col, tables.surf_color),
+        surf_color2=like(col2, tables.surf_color2),
+        surf_refl=like(refl[:, 0], tables.surf_refl),
+        surf_fresnel=like(fres[:, 0], tables.surf_fresnel),
+        surf_uv_scale=like(uvs[:, 0], tables.surf_uv_scale),
+        portal_lin=like(plin.reshape(-1, 4, 4), tables.portal_lin),
+        portal_tr=like(ptr, tables.portal_tr),
+        background=like(bg[0], tables.background),
+        textures=tex_grads,
+    )
+    return d_tables, d_cam, d_time
+
+
+# --- custom_vjp wrapper ------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 6, 7, 8))
+def render_image_pallas_diff(static, tables, cam, H: int, W: int, time=0.0,
+                             backward: str = "auto", tile=DEFAULT_TILE,
+                             interpret: bool = False):
+    """Differentiable Pallas render: megakernel forward, then either the
+    Pallas backward kernel (per-tile recompute-VJP in VMEM) or the
+    row-blocked lax recompute.
+
+    ``backward``: 'pallas' | 'blocked' | 'auto'.  'auto' picks the Pallas
+    kernel for straight-space scenes and falls back to the blocked lax
+    recompute for marchy (warp/expr) scenes, whose march-loop tape exceeds
+    a tile's VMEM budget.  Gradients flow to tables, cam AND time.
+    """
+    return render_image_pallas(static, tables, cam, H, W, tile, "while",
+                               interpret, time)
+
+
+def _fwd(static, tables, cam, H, W, time, backward, tile, interpret):
+    out = render_image_pallas(static, tables, cam, H, W, tile, "while",
+                              interpret, time)
+    return out, (tables, cam, time)
+
+
+AUTO_BWD_MAX_NODES = 15
+
+
+def _bwd(static, H, W, backward, tile, interpret, res, g):
+    tables, cam, time = res
+    if backward == "auto":
+        # marchy scenes: the march tape exceeds a tile's VMEM; very deep
+        # bounce trees: the unrolled kernel transpose blows up compile time
+        blocked = static.has_warp or static.max_nodes > AUTO_BWD_MAX_NODES
+        backward = "blocked" if blocked else "pallas"
+    if backward == "pallas":
+        return vjp_pallas(static, tables, cam, H, W, g, BWD_TILE, time,
+                          interpret)
+    return vjp_blocked(static, tables, cam, H, W, g, BWD_BLOCK_ROWS, time)
 
 
 render_image_pallas_diff.defvjp(_fwd, _bwd)

@@ -104,7 +104,12 @@ def make_accel(static, tables, mat_ids, time=0.0):
                 row = tables.mat_warp_center[m]
                 wc = V.where(sel, Vec(row[0], row[1], row[2], row[3]), wc)
                 ws = jnp.where(sel, tables.mat_warp_strength[m], ws)
-    lib = E.jax_lib() if expr_mats else None
+    # safe=True: partial-domain functions (sqrt/log/asin/acos/div) are
+    # domain-guarded with the double-where pattern, because the field is
+    # evaluated at EVERY ray position and masked afterwards — a NaN on an
+    # unselected lane would ride 0*NaN through V.where's VJP and poison all
+    # gradients (ADVICE r2).  Domain-valid scenes are numerically unchanged.
+    lib = E.jax_lib(safe=True) if expr_mats else None
 
     def accel(x: Vec) -> Vec:
         if any_attractor:
@@ -324,7 +329,7 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
 
 def trace_batch(static, tables, org0: Vec, d0: Vec,
                 differentiable: bool = False, texture_matmul: bool = False,
-                time=0.0):
+                time=0.0, remat: bool = False, unroll: bool = False):
     """Trace a batch of primary rays; returns (r, g, b) arrays shaped like
     org0.x.
 
@@ -332,6 +337,13 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
     ``max_nodes``-trip fori_loop (reverse-mode differentiable; masked
     iterations are no-ops) instead of an early-exiting while_loop — same
     semantics, needed because lax.while_loop has no reverse-mode rule.
+    ``remat=True`` checkpoints the loop body, so a backward pass stores one
+    carry per trip instead of every intermediate — the knob that lets the
+    Pallas backward kernel keep a whole tile's tape in VMEM.
+    ``unroll=True`` runs the differentiable loop as straight-line Python-
+    unrolled code: required inside the Pallas backward kernel, where
+    Mosaic cannot lower the residual-stacking scan that reverse-mode AD
+    makes of a fori_loop.
 
     The primary node is peeled out of the loop (its stack state is known),
     and statically-dead branches are pruned: depth-1 scenes can never push,
@@ -405,8 +417,13 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
 
     carry = (sp, it0, ar, ag, ab, slots)
     if differentiable:
-        carry = jax.lax.fori_loop(0, static.max_nodes - 1,
-                                  lambda _, c: body(c), carry)
+        step = jax.checkpoint(body) if remat else body
+        if unroll:
+            for _ in range(static.max_nodes - 1):
+                carry = step(carry)
+        else:
+            carry = jax.lax.fori_loop(0, static.max_nodes - 1,
+                                      lambda _, c: step(c), carry)
     else:
         carry = jax.lax.while_loop(cond, body, carry)
     _, _, ar, ag, ab, _ = carry

@@ -234,7 +234,12 @@ def compile_scene(scene: ir.Scene) -> Tuple[SceneStatic, SceneTables]:
                                  surf_index(e.surface), p_idx, e.name))
 
     st = scene.settings
-    max_nodes = st.max_nodes or min(2 ** (st.max_depth + 1) - 1, 63)
+    # Tight bound on DFS node count: a node only pushes children while its
+    # remaining depth >= 2 (ops/trace.py depth_ge2 gate), so a root at depth
+    # D spans at most D levels -> <= 2^D - 1 nodes in the full binary case.
+    # This is the fori trip count of the differentiable bounce loop, so the
+    # old 2^(D+1)-1 bound doubled every backward pass for nothing.
+    max_nodes = st.max_nodes or max(1, min(2 ** st.max_depth - 1, 63))
 
     def _alpha1(s: ir.Surface) -> bool:
         if isinstance(s, ir.UniformSurface):

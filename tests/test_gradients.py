@@ -203,7 +203,7 @@ def test_blocked_vjp_matches_whole_frame(probe):
     _, vjp = jax.vjp(
         lambda t, c: et.render_image(static, t, c, H, W, True), t32, cam)
     gt_ref, gc_ref = vjp(jnp.asarray(g))
-    gt_blk, gc_blk = vjp_blocked(static, t32, cam, H, W, g, block_rows=7)
+    gt_blk, gc_blk, _ = vjp_blocked(static, t32, cam, H, W, g, block_rows=7)
 
     for a, b in zip(jax.tree.leaves((gt_ref, gc_ref)),
                     jax.tree.leaves((gt_blk, gc_blk))):
@@ -213,3 +213,74 @@ def test_blocked_vjp_matches_whole_frame(probe):
         # to each leaf's magnitude (near-zero leaves get the atol floor)
         tol = 1e-3 * max(np.abs(a).max(), 1.0) if a.size else 0.0
         assert np.abs(a - b).max() <= tol, np.abs(a - b).max()
+
+
+def _assert_grads_close(ref, got, rtol=1e-3):
+    ra, ga = jax.tree.leaves(ref), jax.tree.leaves(got)
+    assert len(ra) == len(ga)
+    for a, b in zip(ra, ga):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        tol = rtol * max(np.abs(a).max(), 1.0) if a.size else 0.0
+        assert np.abs(a - b).max() <= tol, np.abs(a - b).max()
+
+
+def _depth2(name):
+    """Compile a library scene at max_depth=2: the interpret-mode compile of
+    the unrolled backward-kernel transpose is minutes per extra bounce on
+    CPU XLA, and depth 2 already exercises both branch pushes + the loop.
+    (Depth 3 at 720p is validated on real hardware by tools/tpu_bwd_probe.py
+    — TPU_BWD_OK, max rel err 6e-5 vs the lax VJP.)"""
+    from dataclasses import replace
+
+    import euclider_tpu as et
+    sc = et.get_scene(name)
+    sc = replace(sc, settings=replace(sc.settings, max_depth=2))
+    static, tables = et.compile_scene(sc)
+    return static, tables, et.compile_camera(sc.camera)
+
+
+def test_pallas_backward_kernel_matches_lax_vjp():
+    """The dedicated Pallas backward kernel (per-tile recompute-VJP in VMEM,
+    pallas_kernel.vjp_pallas) must reproduce the whole-frame lax jax.vjp —
+    tables, camera AND time cotangents — including with tile padding
+    (H, W not multiples of the tile)."""
+    from euclider_tpu.ops.pallas_kernel import vjp_pallas
+
+    static, tables, cam = _depth2("grad_probe")
+    t32 = _tab_to_f32(tables)
+    g = np.random.default_rng(1).normal(size=(H, W, 3)).astype(np.float32)
+    tm = jnp.float32(0.0)
+
+    _, vjp = jax.vjp(
+        lambda t, c, tt: et.render_image(static, t, c, H, W, True, tt),
+        t32, cam, tm)
+    gt_ref, gc_ref, gtm_ref = vjp(jnp.asarray(g))
+    gt_pal, gc_pal, gtm_pal = vjp_pallas(static, t32, cam, H, W, g,
+                                         (8, 128), tm, True)
+    _assert_grads_close((gt_ref, gc_ref), (gt_pal, gc_pal))
+    assert np.isclose(float(gtm_ref), float(gtm_pal), atol=1e-4)
+
+
+def test_pallas_diff_render_textured():
+    """End-to-end custom_vjp through render_image_pallas_diff on the CSG +
+    texture scene: exercises the matmul texture sampler's transpose and the
+    packed-texture cotangent unpacking."""
+    from euclider_tpu.ops.pallas_kernel import render_image_pallas_diff
+
+    static, tables, cam = _depth2("config3_csg_textured")
+    t32 = _tab_to_f32(tables)
+
+    def loss_pal(t):
+        img = render_image_pallas_diff(static, t, cam, H, W, 0.0, "pallas",
+                                       (8, 128), True)
+        return jnp.mean(img * img)
+
+    def loss_lax(t):
+        img = et.render_image(static, t, cam, H, W, True)
+        return jnp.mean(img * img)
+
+    gp = jax.grad(loss_pal)(t32)
+    gl = jax.grad(loss_lax)(t32)
+    assert any(np.abs(np.asarray(t)).sum() > 0 for t in gp.textures)
+    _assert_grads_close(gl, gp)
