@@ -38,36 +38,63 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("rows",))
 
 
-def _local_slab(static, H, W, Hl, differentiable, tables, cam):
+def _local_slab(static, H, W, Hl, differentiable, time, tables, cam):
     """Render this device's row slab; offset comes from the mesh position."""
     row0 = jax.lax.axis_index("rows") * Hl
     yi = (row0.astype(jnp.float32)
           + jax.lax.broadcasted_iota(jnp.float32, (Hl, W), 0))
     xi = jax.lax.broadcasted_iota(jnp.float32, (Hl, W), 1)
     org, d = T.camera_rays(cam, xi, yi, W, H)
-    r, g, b = T.trace_batch(static, tables, org, d, differentiable)
+    r, g, b = T.trace_batch(static, tables, org, d, differentiable,
+                            time=time)
     return jnp.stack([r, g, b], axis=-1)
+
+
+def _local_slab_pallas(static, H, W, Hl, tile, interpret, time, tables, cam):
+    """This device's row slab through the Pallas megakernel: the sharded
+    multi-chip path inherits the single-chip kernel's throughput (SURVEY
+    §2.2 DP row + §7 step 4 — tiles sharded across chips AND each chip
+    running the megakernel)."""
+    from ..ops.pallas_kernel import render_image_pallas
+
+    row0 = jax.lax.axis_index("rows") * Hl
+    return render_image_pallas(static, tables, cam, H, W, tile, "while",
+                               interpret, time, row0.astype(jnp.float32),
+                               Hl)
 
 
 def render_image_sharded(static, tables, cam, H: int, W: int,
                          mesh: Mesh | None = None,
-                         differentiable: bool = False):
-    """Sharded full-frame render -> [H, W, 3], rows sharded over the mesh."""
+                         differentiable: bool = False,
+                         backend: str = "lax", tile=(16, 128),
+                         interpret: bool = False, time=0.0):
+    """Sharded full-frame render -> [H, W, 3], rows sharded over the mesh.
+
+    ``backend='pallas'`` runs the megakernel per shard (forward only —
+    gradients go through the lax path); 'lax' supports both.  On a CPU
+    mesh pass ``interpret=True``.
+    """
     if mesh is None:
         mesh = make_mesh()
     n = mesh.devices.size
     if H % n:
         raise ValueError(f"H={H} not divisible by mesh size {n}")
     Hl = H // n
-    f = shard_map(
-        partial(_local_slab, static, H, W, Hl, differentiable),
-        mesh=mesh, in_specs=(P(), P()), out_specs=P("rows"),
-        check_vma=False)
+    if backend == "pallas":
+        if differentiable:
+            raise ValueError("backend='pallas' is forward-only here; use "
+                             "the lax backend for sharded gradients")
+        local = partial(_local_slab_pallas, static, H, W, Hl, tile,
+                        interpret, time)
+    else:
+        local = partial(_local_slab, static, H, W, Hl, differentiable, time)
+    f = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                  out_specs=P("rows"), check_vma=False)
     return f(tables, cam)
 
 
 render_image_sharded_jit = jax.jit(render_image_sharded,
-                                   static_argnums=(0, 3, 4, 5, 6))
+                                   static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 
 
 def gather_frame(img) -> "jax.Array":

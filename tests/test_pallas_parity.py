@@ -26,6 +26,7 @@ H, W = 16, 128   # one (8, 128) tile pair — keeps interpret mode fast
     "config2_mirror_glass",
     "config3_csg_textured",    # exercises the gather-free matmul texture path
     "config4_hypersphere",
+    "config5_warp_portal",     # march + portal branch (ops/trace.py portals)
 ])
 def test_pallas_interpret_matches_lax(compiled_scenes, name):
     _, static, tables, cam = compiled_scenes[name]

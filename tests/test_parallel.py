@@ -36,6 +36,25 @@ def test_sharded_render_matches_single(compiled_scenes, mesh):
     assert len(img.sharding.device_set) == 8
 
 
+@pytest.mark.parametrize("name", ["config2_mirror_glass",
+                                  "config5_warp_portal"])
+def test_sharded_pallas_matches_single(compiled_scenes, mesh, name):
+    """Megakernel × mesh composition (SURVEY §2.2 DP row + §7 step 4): the
+    rows-sharded render with backend='pallas' runs one Pallas launch per
+    device over its row slab (y0-offset ray generation) and must equal the
+    single-device lax render — including slabs smaller than a tile (Hl=4
+    rows here) and the march+portal code paths."""
+    _, static, tables, cam = compiled_scenes[name]
+    H, W = 32, 64
+    a = np.asarray(et.render_image_jit(static, tables, cam, H, W))
+    b = np.asarray(render_image_sharded(static, tables, cam, H, W, mesh,
+                                        False, "pallas", (8, 128), True))
+    assert_images_close(a, b, atol=1e-5, msg=f"sharded-pallas {name}")
+    img = render_image_sharded(static, tables, cam, H, W, mesh,
+                               False, "pallas", (8, 128), True)
+    assert len(img.sharding.device_set) == 8
+
+
 def test_sharded_render_uneven_rejected(compiled_scenes, mesh):
     _, static, tables, cam = compiled_scenes["config1_sphere_room"]
     with pytest.raises(ValueError, match="not divisible"):
