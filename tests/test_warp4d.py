@@ -5,8 +5,6 @@ The scene puts a WarpSpace hypersphere and a 4D portal pair in R^4 with a
 w-tilted camera; these tests lock oracle parity, the actual 4D behavior
 (w-dependence, warp deflection, portal teleport), Pallas kernel parity and
 the warp-strength gradient."""
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 import euclider_tpu as et
@@ -73,16 +71,21 @@ def test_pallas_interpret_matches_lax(compiled_scenes):
 
 
 def test_warp_strength_gradient_matches_fd():
-    """d(image)/d(strength) through a 4D march: autodiff vs oracle FD.
+    """d(image)/d(strength) through a 4D march: per-pixel autodiff (jvp)
+    vs oracle central differences on non-silhouette pixels.
 
     Needs a smooth (C^inf) surface behind the 4D warp region — config7's
     uniform/checker surfaces have zero interior gradient (boundary motion
-    only), so this uses a probe variant with a smooth wall in R^4."""
+    only).  The comparison is per-pixel with test_gradients' silhouette
+    masking: a strength change also moves refraction-caustic boundaries
+    across pixels, so a scene-mean FD is step-size unstable in 4D."""
+    from test_gradients import _fd_vs_jvp
+
     from euclider_tpu.scene import ir
 
     region = ir.Entity(ir.Sphere((0, 0, -4, 0.1), 1.8),
                        material=ir.WarpSpace(center=(0, 0, -4, 0.1),
-                                             strength=0.35, step=0.05),
+                                             strength=0.25, step=0.05),
                        surface=ir.UniformSurface((0, 0, 0, 0.0)))
     wall = ir.Entity(ir.Hyperplane((0, 0, 1, 0.2), -8.0),
                      surface=ir.SmoothSurface(uv_scale=0.5))
@@ -94,25 +97,15 @@ def test_warp_strength_gradient_matches_fd():
                                              background=(0.1, 0.1, 0.2)))
     static, tables = et.compile_scene(sc)
     cam = et.compile_camera(sc.camera)
-    t32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tables)
     idx = int(np.nonzero(np.asarray(tables.mat_warp_strength))[0][0])
 
-    def loss(ws):
-        t = t32._replace(mat_warp_strength=ws)
-        return jnp.mean(et.render_image(static, t, cam, 10, 12, True))
+    def set_param(t, c, v):
+        import jax.numpy as jnp
+        ws = jnp.asarray(t.mat_warp_strength, jnp.float32).at[idx].set(v)
+        return t._replace(mat_warp_strength=ws), c
 
-    g = np.asarray(jax.grad(loss)(jnp.asarray(t32.mat_warp_strength)))
-    assert np.isfinite(g).all()
-    assert abs(g[idx]) > 0
+    def get_param(t, c):
+        return float(np.asarray(t.mat_warp_strength)[idx])
 
-    h = 1e-3
-
-    def orc(v):
-        ws = np.asarray(tables.mat_warp_strength, np.float64).copy()
-        ws[idx] = v
-        return render_oracle(static, tables._replace(mat_warp_strength=ws),
-                             cam, 10, 12).mean()
-
-    w0 = float(np.asarray(tables.mat_warp_strength)[idx])
-    fd = (orc(w0 + h) - orc(w0 - h)) / (2 * h)
-    assert np.isclose(float(g[idx]), fd, rtol=0.15, atol=1e-3)
+    _fd_vs_jvp(static, tables, cam, set_param, get_param,
+               h=1e-3, tol=0.08, bad_frac=0.05)
