@@ -193,7 +193,8 @@ BWD_BLOCK_ROWS = 64
 
 
 def vjp_blocked(static, tables, cam, H: int, W: int, g,
-                block_rows: int = BWD_BLOCK_ROWS, time=0.0):
+                block_rows: int = BWD_BLOCK_ROWS, time=0.0, y0=0.0,
+                rows: int | None = None):
     """Backward pass of a full-frame render in row blocks (lax recompute).
 
     jax.vjp of the whole-frame differentiable render materialises the
@@ -208,27 +209,32 @@ def vjp_blocked(static, tables, cam, H: int, W: int, g,
     Returns (d_tables, d_cam, d_time).  This is the fallback backward for
     marchy (warp/expr) scenes whose march tape exceeds VMEM; straight-space
     scenes use the Pallas backward kernel (vjp_pallas) instead.
+    ``y0``/``rows`` restrict to a row slab of the global frame (the sharded
+    training path); the cotangent ``g`` then has ``rows`` rows.
     """
     import jax.numpy as jnp
 
-    bh = min(block_rows, H)
-    nb = -(-H // bh)
-    Hp = nb * bh
-    g = jnp.pad(jnp.asarray(g, jnp.float32), ((0, Hp - H), (0, 0), (0, 0)))
+    R = H if rows is None else rows
+    bh = min(block_rows, R)
+    nb = -(-R // bh)
+    Rp = nb * bh
+    g = jnp.pad(jnp.asarray(g, jnp.float32), ((0, Rp - R), (0, 0), (0, 0)))
     dt = jnp.asarray(tables.surf_color).dtype
     time = jnp.asarray(time, dt)
+    y0 = jnp.asarray(y0, dt)
 
-    def frender(y0, t, c, tm):
-        yi = y0.astype(dt) + jax.lax.broadcasted_iota(dt, (bh, W), 0)
+    def frender(by0, t, c, tm):
+        yi = (y0 + by0.astype(dt)
+              + jax.lax.broadcasted_iota(dt, (bh, W), 0))
         xi = jax.lax.broadcasted_iota(dt, (bh, W), 1)
         r, gq, b = T.render_rays(static, t, c, xi, yi, W, H, True, tm)
         return jnp.stack([r, gq, b], axis=-1)
 
     def block(carry, i):
         gt, gc, gtm = carry
-        y0 = i * bh
-        gblk = jax.lax.dynamic_slice(g, (y0, 0, 0), (bh, W, 3))
-        _, vjp = jax.vjp(lambda t, c, tm: frender(y0, t, c, tm),
+        by0 = i * bh
+        gblk = jax.lax.dynamic_slice(g, (by0, 0, 0), (bh, W, 3))
+        _, vjp = jax.vjp(lambda t, c, tm: frender(by0, t, c, tm),
                          tables, cam, time)
         dgt, dgc, dgtm = vjp(gblk)
         gt = jax.tree.map(jnp.add, gt, dgt)
@@ -280,7 +286,7 @@ def _bwd_kernel(static, H, W, TH, TW, n_views, cam_ref, *refs):
                            tan_half_fov=cam_row[0, 16])
         tables = _unpack_tables(views)
         yi = (iy0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
-              ).astype(jnp.float32)
+              ).astype(jnp.float32) + cam_row[0, 18]
         xi = (ix0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
               ).astype(jnp.float32)
         org, d = T.camera_rays(cam, xi, yi, W, H)
@@ -313,22 +319,26 @@ def _unpack_tex_grad(gp, th, tw):
                      axis=-1)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 6, 8))
+@partial(jax.jit, static_argnums=(0, 3, 4, 6, 8, 10))
 def vjp_pallas(static, tables, cam, H: int, W: int, g, tile=BWD_TILE,
-               time=0.0, interpret: bool = False):
-    """Full-frame backward through the Pallas backward kernel.
+               time=0.0, interpret: bool = False, y0=0.0,
+               rows: int | None = None):
+    """Backward through the Pallas backward kernel.
 
     Returns (d_tables, d_cam, d_time) with dtypes matching the primals.
-    Padded tiles carry zero cotangents and contribute exactly zero."""
+    Padded tiles carry zero cotangents and contribute exactly zero.
+    ``y0``/``rows`` restrict to a row slab of the global frame (the sharded
+    training path); ``g`` then has ``rows`` rows."""
     TH, TW = tile
-    Hp, Wp = _cdiv(H, TH) * TH, _cdiv(W, TW) * TW
+    R = H if rows is None else rows
+    Rp, Wp = _cdiv(R, TH) * TH, _cdiv(W, TW) * TW
     views = _table_views(tables)
     n_views = len(views)
-    grid = (Hp // TH, Wp // TW)
+    grid = (Rp // TH, Wp // TW)
 
-    g = jnp.moveaxis(jnp.asarray(g, jnp.float32), -1, 0)        # [3, H, W]
-    g = jnp.pad(g, ((0, 0), (0, Hp - H), (0, Wp - W)))          # [3, Hp, Wp]
-    cam_row = _pack_camera(cam, time)
+    g = jnp.moveaxis(jnp.asarray(g, jnp.float32), -1, 0)        # [3, R, W]
+    g = jnp.pad(g, ((0, 0), (0, Rp - R), (0, Wp - W)))          # [3, Rp, Wp]
+    cam_row = _pack_camera(cam, time, y0)
 
     in_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM)]
@@ -397,10 +407,11 @@ def vjp_pallas(static, tables, cam, H: int, W: int, g, tile=BWD_TILE,
 
 # --- custom_vjp wrapper ------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 6, 7, 8, 10))
 def render_image_pallas_diff(static, tables, cam, H: int, W: int, time=0.0,
                              backward: str = "auto", tile=DEFAULT_TILE,
-                             interpret: bool = False):
+                             interpret: bool = False, y0=0.0,
+                             rows: int | None = None):
     """Differentiable Pallas render: megakernel forward, then either the
     Pallas backward kernel (per-tile recompute-VJP in VMEM) or the
     row-blocked lax recompute.
@@ -409,31 +420,44 @@ def render_image_pallas_diff(static, tables, cam, H: int, W: int, time=0.0,
     kernel for straight-space scenes and falls back to the blocked lax
     recompute for marchy (warp/expr) scenes, whose march-loop tape exceeds
     a tile's VMEM budget.  Gradients flow to tables, cam AND time.
+    ``y0``/``rows`` render + differentiate a row slab of the global frame —
+    inside a rows-sharded shard_map this runs multi-chip *training* through
+    the megakernels in both directions (train.inverse backend='pallas').
     """
     return render_image_pallas(static, tables, cam, H, W, tile, "while",
-                               interpret, time)
+                               interpret, time, y0, rows)
 
 
-def _fwd(static, tables, cam, H, W, time, backward, tile, interpret):
+def _fwd(static, tables, cam, H, W, time, backward, tile, interpret, y0,
+         rows):
     out = render_image_pallas(static, tables, cam, H, W, tile, "while",
-                              interpret, time)
-    return out, (tables, cam, time)
+                              interpret, time, y0, rows)
+    return out, (tables, cam, time, y0)
 
 
 AUTO_BWD_MAX_NODES = 15
+BWD_TILE_SHALLOW = (16, 256)   # v5e sweep: depth<=2 trees fit bigger tiles
 
 
-def _bwd(static, H, W, backward, tile, interpret, res, g):
-    tables, cam, time = res
+def _bwd(static, H, W, backward, tile, interpret, rows, res, g):
+    tables, cam, time, y0 = res
     if backward == "auto":
         # marchy scenes: the march tape exceeds a tile's VMEM; very deep
         # bounce trees: the unrolled kernel transpose blows up compile time
         blocked = static.has_warp or static.max_nodes > AUTO_BWD_MAX_NODES
         backward = "blocked" if blocked else "pallas"
     if backward == "pallas":
-        return vjp_pallas(static, tables, cam, H, W, g, BWD_TILE, time,
-                          interpret)
-    return vjp_blocked(static, tables, cam, H, W, g, BWD_BLOCK_ROWS, time)
+        # shallow trees leave VMEM headroom for larger tiles (config1:
+        # 1.24 ms vs 2.9 ms full-frame 720p backward on v5e); deeper ones
+        # (max_nodes > 3) overflow the compile at (8, 256) already
+        bwd_tile = BWD_TILE_SHALLOW if static.max_nodes <= 3 else BWD_TILE
+        gt, gc, gtm = vjp_pallas(static, tables, cam, H, W, g, bwd_tile,
+                                 time, interpret, y0, rows)
+    else:
+        gt, gc, gtm = vjp_blocked(static, tables, cam, H, W, g,
+                                  BWD_BLOCK_ROWS, time, y0, rows)
+    # y0 is a frame coordinate (the shard's mesh position), not a parameter
+    return gt, gc, gtm, jnp.zeros_like(jnp.asarray(y0, jnp.float32))
 
 
 render_image_pallas_diff.defvjp(_fwd, _bwd)

@@ -43,12 +43,38 @@ def _local_loss(static, H, W, Hl, tables, cam, target_slab):
     return jax.lax.pmean(l, "rows")
 
 
-def make_loss_fn(static, H: int, W: int, mesh: Mesh):
+def _local_loss_pallas(static, H, W, Hl, tile, interpret, tables, cam,
+                       target_slab):
+    """Per-shard loss through the differentiable Pallas path: megakernel
+    forward AND Pallas backward kernel per chip (custom_vjp inside the
+    shard_map; the grads' psum still rides the shard_map transpose)."""
+    from ..ops.pallas_kernel import render_image_pallas_diff
+
+    row0 = jax.lax.axis_index("rows") * Hl
+    img = render_image_pallas_diff(static, tables, cam, H, W, 0.0, "auto",
+                                   tile, interpret,
+                                   row0.astype(jnp.float32), Hl)
+    l = jnp.mean((img - target_slab) ** 2)
+    return jax.lax.pmean(l, "rows")
+
+
+def make_loss_fn(static, H: int, W: int, mesh: Mesh,
+                 backend: str = "lax", tile=(16, 128),
+                 interpret: bool = False):
+    """Sharded MSE loss vs a rows-sharded target.
+
+    backend='pallas' runs both the forward render and the backward pass
+    through the Pallas kernels on every chip (interpret=True on CPU
+    meshes); 'lax' is the whole-XLA path."""
     n = mesh.devices.size
     if H % n:
         raise ValueError(f"H={H} not divisible by mesh size {n}")
     Hl = H // n
-    local = partial(_local_loss, static, H, W, Hl)
+    if backend == "pallas":
+        local = partial(_local_loss_pallas, static, H, W, Hl, tile,
+                        interpret)
+    else:
+        local = partial(_local_loss, static, H, W, Hl)
     sharded = shard_map(local, mesh=mesh,
                         in_specs=(P(), P(), P("rows")),
                         out_specs=P(), check_vma=False)
@@ -60,14 +86,16 @@ def make_loss_fn(static, H: int, W: int, mesh: Mesh):
 
 
 def make_train_step(static, H: int, W: int, mesh: Mesh, optimizer,
-                    params: InverseParams):
+                    params: InverseParams, backend: str = "lax",
+                    tile=(16, 128), interpret: bool = False):
     """Returns (jitted step fn, initial optimizer state).
 
     step(params, opt_state, target) -> (params, opt_state, loss).
     Gradients of the replicated params are psum-reduced over the mesh inside
-    the backward pass.
+    the backward pass.  backend='pallas' runs forward AND backward through
+    the Pallas kernels on each chip (see make_loss_fn).
     """
-    loss_fn = make_loss_fn(static, H, W, mesh)
+    loss_fn = make_loss_fn(static, H, W, mesh, backend, tile, interpret)
     opt_state = optimizer.init(params)
 
     @jax.jit

@@ -105,6 +105,41 @@ def test_train_step_converges(compiled_scenes, mesh):
     assert l1 < l0 * 0.2, (l0, l1)
 
 
+def test_sharded_pallas_training_matches_lax(mesh):
+    """Multi-chip training through the megakernels: make_loss_fn
+    backend='pallas' runs the Pallas forward AND the Pallas backward kernel
+    per shard (custom_vjp inside shard_map, y0-offset slabs); loss and
+    psum-reduced parameter grads must match the sharded lax path.
+
+    Depth 2 keeps the interpret-mode compile of the unrolled backward
+    transpose cheap (depth 3 at 720p is covered on real hardware by
+    tools/tpu_bwd_probe.py)."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    sc = et.get_scene("grad_probe")
+    sc = replace(sc, settings=replace(sc.settings, max_depth=2))
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    tables = _f32(tables)
+    H, W = 16, 32
+
+    loss_lax = make_loss_fn(static, H, W, mesh)
+    loss_pal = make_loss_fn(static, H, W, mesh, "pallas", (8, 128), True)
+    params = InverseParams(tables, cam)
+    target = shard_target(np.zeros((H, W, 3), np.float32), mesh)
+
+    ll, gl = jax.value_and_grad(lambda p: loss_lax(p, target))(params)
+    lp, gp = jax.value_and_grad(lambda p: loss_pal(p, target))(params)
+    assert np.isclose(float(ll), float(lp), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gl), jax.tree.leaves(gp)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        tol = 1e-3 * max(np.abs(a).max(), 1.0) if a.size else 0.0
+        assert np.abs(a - b).max() <= tol, np.abs(a - b).max()
+
+
 def test_grads_replicated_after_psum(compiled_scenes, mesh):
     """Parameter grads must come out identical (replicated) on every device."""
     _, static, tables, cam = compiled_scenes["grad_probe"]

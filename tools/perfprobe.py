@@ -104,7 +104,8 @@ def time_grad(name: str, n=10, h=360, w=640, backend="lax") -> float:
         bwd = "pallas" if backend == "pallas-kernel" else "blocked"
 
         def loss(t, c):
-            img = render_image_pallas_diff(static, t, c, h, w, 0.0, bwd)
+            img = render_image_pallas_diff(static, t, c, h, w, 0.0, bwd,
+                                           (32, 256))
             return jnp.mean(img)
 
     grad = jax.grad(loss, argnums=(0, 1))
