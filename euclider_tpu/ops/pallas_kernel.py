@@ -319,54 +319,10 @@ def _unpack_tex_grad(gp, th, tw):
                      axis=-1)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 6, 8, 10))
-def vjp_pallas(static, tables, cam, H: int, W: int, g, tile=BWD_TILE,
-               time=0.0, interpret: bool = False, y0=0.0,
-               rows: int | None = None):
-    """Backward through the Pallas backward kernel.
-
-    Returns (d_tables, d_cam, d_time) with dtypes matching the primals.
-    Padded tiles carry zero cotangents and contribute exactly zero.
-    ``y0``/``rows`` restrict to a row slab of the global frame (the sharded
-    training path); ``g`` then has ``rows`` rows."""
-    TH, TW = tile
-    R = H if rows is None else rows
-    Rp, Wp = _cdiv(R, TH) * TH, _cdiv(W, TW) * TW
-    views = _table_views(tables)
-    n_views = len(views)
-    grid = (Rp // TH, Wp // TW)
-
-    g = jnp.moveaxis(jnp.asarray(g, jnp.float32), -1, 0)        # [3, R, W]
-    g = jnp.pad(g, ((0, 0), (0, Rp - R), (0, Wp - W)))          # [3, Rp, Wp]
-    cam_row = _pack_camera(cam, time, y0)
-
-    in_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM)]
-    for v in views:
-        in_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
-                                     memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((3, TH, TW), lambda i, j: (0, i, j),
-                                 memory_space=pltpu.VMEM))
-
-    out_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
-                              memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((1, 24), jnp.float32)]
-    for v in views:
-        out_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct(v.shape, jnp.float32))
-
-    outs = pl.pallas_call(
-        partial(_bwd_kernel, static, H, W, TH, TW, n_views),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(cam_row, *views, g)
-
-    dc_row, dviews = outs[0], outs[1:]
-
+def _grads_from_rows(dc_row, dviews, tables, cam):
+    """(d_cam_row [1,24], d_view grads) -> (d_tables, d_cam, d_time) with
+    dtypes matching the primals — the inverse of _pack_camera/_table_views
+    on the cotangents, shared by every Pallas backward variant."""
     def like(a, ref):
         return jnp.asarray(a, jnp.asarray(ref).dtype)
 
@@ -405,6 +361,313 @@ def vjp_pallas(static, tables, cam, H: int, W: int, g, tile=BWD_TILE,
     return d_tables, d_cam, d_time
 
 
+# --- deep-tree backward: segmented hand-checkpointed VJP --------------------
+#
+# Reverse-mode through the bounce loop needs a tape.  Mosaic can lower
+# neither the residual-stacking scan jax AD builds nor remat2 call eqns;
+# fully unrolling a deep transpose into ONE kernel blows past the compiler
+# (a 62-trip config2 kernel is ~7 MB of MLIR and crashes the TPU compile
+# helper).  So the deep path checkpoints BY HAND at chunk granularity
+# *across* kernels: the forward runs K small chunk kernels (c unrolled
+# trips each), parking the chunk-boundary carries in HBM; the backward
+# walks the chunks in reverse with one small kernel that re-runs its c
+# trips under jax.vjp — straight-line code Mosaic lowers happily — so only
+# ONE chunk's tape ever exists, in VMEM, and each kernel is compiled once
+# regardless of scene depth.  Integer carry parts (stack pointers, material
+# ids, depths) are threaded as saved primals: their cotangents are
+# structurally zero, which is standard AD semantics for integer values.
+
+def _split_carry(carry):
+    leaves, treedef = jax.tree.flatten(carry)
+    is_f = tuple(jnp.issubdtype(l.dtype, jnp.floating) for l in leaves)
+    fl = tuple(l for l, f in zip(leaves, is_f) if f)
+    il = tuple(l for l, f in zip(leaves, is_f) if not f)
+    return fl, il, (treedef, is_f)
+
+
+def _merge_carry(fl, il, meta):
+    treedef, is_f = meta
+    fi, ii = iter(fl), iter(il)
+    leaves = [next(fi) if f else next(ii) for f in is_f]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _carry_template(static, R, W):
+    """ShapeDtypeStructs of the segmented carry (sp, ar, ag, ab, slots).
+
+    Leaf order is the flatten order used by every segmented kernel; the
+    ar/ag/ab color accumulators are float leaves 0..2 (sp is int)."""
+    from .vec import Vec
+
+    f = lambda: jax.ShapeDtypeStruct((R, W), jnp.float32)
+    i = lambda: jax.ShapeDtypeStruct((R, W), jnp.int32)
+    vec = lambda: Vec(f(), f(), f(), f())
+    S = static.max_depth + 1
+    slot = lambda: (vec(), vec(), f(), i(), i())
+    return (i(), f(), f(), f(), tuple(slot() for _ in range(S)))
+
+
+def _seg_chunk(static, c, carry5, tables, time):
+    """Apply c bounce trips to a (sp, ar, ag, ab, slots) carry."""
+    body = T.make_bounce_body(static, tables, True, True, time)
+    sp, ar, ag, ab, slots = carry5
+    c6 = (sp, jnp.int32(0), ar, ag, ab, slots)
+    for _ in range(c):
+        c6 = body(c6)
+    sp, _, ar, ag, ab, slots = c6
+    return (sp, ar, ag, ab, slots)
+
+
+def _seg_fwd_kernel(static, H, W, TH, TW, n_views, c, peel, treedef,
+                    cam_ref, *refs):
+    """Forward segment: peel (ray gen + primary node) or one c-trip chunk.
+    Outputs the next boundary carry, tiled."""
+    view_refs = refs[:n_views]
+    cam_row = cam_ref[:]
+    views = tuple(r[:] for r in view_refs)
+    tables = _unpack_tables(views)
+    time = cam_row[0, 17]
+
+    if peel:
+        out_refs = refs[n_views:]
+        cam = CameraParams(position=cam_row[0, 0:4],
+                           forward=cam_row[0, 4:8],
+                           up=cam_row[0, 8:12],
+                           right=cam_row[0, 12:16],
+                           tan_half_fov=cam_row[0, 16])
+        iy0 = pl.program_id(0) * TH
+        ix0 = pl.program_id(1) * TW
+        yi = (iy0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+              ).astype(jnp.float32) + cam_row[0, 18]
+        xi = (ix0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+              ).astype(jnp.float32)
+        org, d = T.camera_rays(cam, xi, yi, W, H)
+        ar, ag, ab, slots, sp = T.bounce_init(static, tables, org, d,
+                                              True, True, time)
+        carry = (sp, ar, ag, ab, slots)
+    else:
+        n_carry = treedef.num_leaves
+        carry_in = [r[:] for r in refs[n_views:n_views + n_carry]]
+        out_refs = refs[n_views + n_carry:]
+        carry = _seg_chunk(static, c,
+                           jax.tree.unflatten(treedef, carry_in),
+                           tables, time)
+
+    for o, leaf in zip(out_refs, jax.tree.leaves(carry)):
+        o[...] = leaf
+
+
+def _seg_bwd_kernel(static, H, W, TH, TW, n_views, c, peel, treedef,
+                    n_dfl, cam_ref, *refs):
+    """Backward segment: recompute one chunk (or the peel) under jax.vjp
+    and transpose it.  Inputs: views, [boundary carry], float cotangents;
+    outputs: [propagated float cotangents], d_cam_row, d_views — the two
+    grad groups accumulated across the sequential grid."""
+    view_refs = refs[:n_views]
+    cam_row = cam_ref[:]
+    views = tuple(r[:] for r in view_refs)
+    pos = n_views
+
+    if peel:
+        carry_in = None
+    else:
+        n_carry = treedef.num_leaves
+        carry_in = jax.tree.unflatten(
+            treedef, [r[:] for r in refs[pos:pos + n_carry]])
+        pos += n_carry
+    dfl = tuple(r[:] for r in refs[pos:pos + n_dfl])
+    out_refs = refs[pos + n_dfl:]
+
+    if peel:
+        iy0 = pl.program_id(0) * TH
+        ix0 = pl.program_id(1) * TW
+
+        def fn(cr, *vs):
+            cam = CameraParams(position=cr[0, 0:4], forward=cr[0, 4:8],
+                               up=cr[0, 8:12], right=cr[0, 12:16],
+                               tan_half_fov=cr[0, 16])
+            tables = _unpack_tables(vs)
+            yi = (iy0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+                  ).astype(jnp.float32) + cr[0, 18]
+            xi = (ix0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+                  ).astype(jnp.float32)
+            org, d = T.camera_rays(cam, xi, yi, W, H)
+            ar, ag, ab, slots, sp = T.bounce_init(static, tables, org, d,
+                                                  True, True, cr[0, 17])
+            return _split_carry((sp, ar, ag, ab, slots))[0]
+
+        _, vjp = jax.vjp(fn, cam_row, *views)
+        dout = vjp(dfl)
+        grads = (dout[0],) + tuple(dout[1:])          # dcr, dviews
+    else:
+        fl_k, il_k, meta_k = _split_carry(carry_in)
+
+        def fn(fl, cr, *vs):
+            tables = _unpack_tables(vs)
+            out = _seg_chunk(static, c, _merge_carry(fl, il_k, meta_k),
+                             tables, cr[0, 17])
+            return _split_carry(out)[0]
+
+        _, vjp = jax.vjp(fn, fl_k, cam_row, *views)
+        dout = vjp(dfl)
+        dfl_out, dcr, dvs = dout[0], dout[1], dout[2:]
+        for o, leaf in zip(out_refs[:n_dfl], dfl_out):
+            o[...] = leaf
+        out_refs = out_refs[n_dfl:]
+        grads = (dcr,) + tuple(dvs)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for o, gr in zip(out_refs, grads):
+        @pl.when(first)
+        def _(o=o, gr=gr):
+            o[...] = gr
+
+        @pl.when(jnp.logical_not(first))
+        def _(o=o, gr=gr):
+            o[...] += gr
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 6, 8, 10, 11))
+def vjp_pallas_segmented(static, tables, cam, H: int, W: int, g,
+                         tile=BWD_TILE, time=0.0, interpret: bool = False,
+                         y0=0.0, rows: int | None = None,
+                         chunk_trips: int = 8):
+    """Deep-tree backward: K segmented chunk kernels with HBM boundary
+    carries (see the module comment above).  Same contract as vjp_pallas."""
+    TH, TW = tile
+    R = H if rows is None else rows
+    Rp, Wp = _cdiv(R, TH) * TH, _cdiv(W, TW) * TW
+    views = _table_views(tables)
+    n_views = len(views)
+    grid = (Rp // TH, Wp // TW)
+
+    trips = static.max_nodes - 1
+    K = max(1, -(-trips // chunk_trips))
+    c = -(-trips // K)
+
+    template = _carry_template(static, Rp, Wp)
+    t_leaves, treedef = jax.tree.flatten(template)
+    is_f = tuple(jnp.issubdtype(l.dtype, jnp.floating) for l in t_leaves)
+    n_dfl = sum(is_f)
+    f_leaves = [l for l, f in zip(t_leaves, is_f) if f]
+
+    g = jnp.moveaxis(jnp.asarray(g, jnp.float32), -1, 0)
+    g = jnp.pad(g, ((0, 0), (0, Rp - R), (0, Wp - W)))
+    cam_row = _pack_camera(cam, time, y0)
+
+    cam_spec = pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    view_specs = [pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM) for v in views]
+    tile_spec = pl.BlockSpec((TH, TW), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    carry_specs = [tile_spec] * len(t_leaves)
+    dfl_specs = [tile_spec] * n_dfl
+    grad_specs = [pl.BlockSpec(s, lambda i, j, n=len(s): (0,) * n,
+                               memory_space=pltpu.VMEM)
+                  for s in [(1, 24)] + [v.shape for v in views]]
+    grad_shapes = [jax.ShapeDtypeStruct((1, 24), jnp.float32)] + [
+        jax.ShapeDtypeStruct(v.shape, jnp.float32) for v in views]
+
+    def run(kern, in_specs, out_specs, out_shapes, *args):
+        return pl.pallas_call(kern, grid=grid, in_specs=in_specs,
+                              out_specs=out_specs, out_shape=out_shapes,
+                              interpret=interpret)(*args)
+
+    # ---- forward: peel + K chunks, boundaries in HBM ----
+    bounds = [run(
+        partial(_seg_fwd_kernel, static, H, W, TH, TW, n_views, c, True,
+                treedef),
+        [cam_spec] + view_specs, carry_specs, list(t_leaves),
+        cam_row, *views)]
+    fwd_chunk = partial(_seg_fwd_kernel, static, H, W, TH, TW, n_views, c,
+                        False, treedef)
+    for _ in range(K):
+        bounds.append(run(fwd_chunk,
+                          [cam_spec] + view_specs + carry_specs,
+                          carry_specs, list(t_leaves),
+                          cam_row, *views, *bounds[-1]))
+
+    # ---- cotangent seed: colors (float leaves 0..2) get g ----
+    dfl = [g[0], g[1], g[2]] + [jnp.zeros(l.shape, l.dtype)
+                                for l in f_leaves[3:]]
+
+    dcr = jnp.zeros((1, 24), jnp.float32)
+    dvs = [jnp.zeros(v.shape, jnp.float32) for v in views]
+
+    bwd_chunk = partial(_seg_bwd_kernel, static, H, W, TH, TW, n_views, c,
+                        False, treedef, n_dfl)
+    dfl_shapes = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in f_leaves]
+    for k in range(K, 0, -1):
+        outs = run(bwd_chunk,
+                   [cam_spec] + view_specs + carry_specs + dfl_specs,
+                   dfl_specs + grad_specs, dfl_shapes + grad_shapes,
+                   cam_row, *views, *bounds[k - 1], *dfl)
+        dfl = list(outs[:n_dfl])
+        dcr = dcr + outs[n_dfl]
+        dvs = [a + b for a, b in zip(dvs, outs[n_dfl + 1:])]
+
+    outs = run(partial(_seg_bwd_kernel, static, H, W, TH, TW, n_views, c,
+                       True, treedef, n_dfl),
+               [cam_spec] + view_specs + dfl_specs,
+               grad_specs, grad_shapes,
+               cam_row, *views, *dfl)
+    dcr = dcr + outs[0]
+    dvs = [a + b for a, b in zip(dvs, outs[1:])]
+
+    return _grads_from_rows(dcr, dvs, tables, cam)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 6, 8, 10))
+def vjp_pallas(static, tables, cam, H: int, W: int, g, tile=BWD_TILE,
+               time=0.0, interpret: bool = False, y0=0.0,
+               rows: int | None = None):
+    """Backward through the (single, fully-unrolled) Pallas backward kernel.
+
+    Returns (d_tables, d_cam, d_time) with dtypes matching the primals.
+    Padded tiles carry zero cotangents and contribute exactly zero.
+    ``y0``/``rows`` restrict to a row slab of the global frame (the sharded
+    training path); ``g`` then has ``rows`` rows.  For trees deeper than
+    the unrolled transpose can hold, use vjp_pallas_segmented."""
+    TH, TW = tile
+    R = H if rows is None else rows
+    Rp, Wp = _cdiv(R, TH) * TH, _cdiv(W, TW) * TW
+    views = _table_views(tables)
+    n_views = len(views)
+    grid = (Rp // TH, Wp // TW)
+
+    g = jnp.moveaxis(jnp.asarray(g, jnp.float32), -1, 0)        # [3, R, W]
+    g = jnp.pad(g, ((0, 0), (0, Rp - R), (0, Wp - W)))          # [3, Rp, Wp]
+    cam_row = _pack_camera(cam, time, y0)
+
+    in_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    for v in views:
+        in_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((3, TH, TW), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((1, 24), jnp.float32)]
+    for v in views:
+        out_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(v.shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        partial(_bwd_kernel, static, H, W, TH, TW, n_views),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(cam_row, *views, g)
+
+    return _grads_from_rows(outs[0], outs[1:], tables, cam)
+
+
 # --- custom_vjp wrapper ------------------------------------------------------
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 6, 7, 8, 10))
@@ -435,24 +698,31 @@ def _fwd(static, tables, cam, H, W, time, backward, tile, interpret, y0,
     return out, (tables, cam, time, y0)
 
 
-AUTO_BWD_MAX_NODES = 15
+UNROLL_BWD_MAX_NODES = 15      # full unroll up to here; segmented beyond
+CHUNK_TRIPS = 8                # trips per segment in the deep backward
 BWD_TILE_SHALLOW = (16, 256)   # v5e sweep: depth<=2 trees fit bigger tiles
 
 
 def _bwd(static, H, W, backward, tile, interpret, rows, res, g):
     tables, cam, time, y0 = res
     if backward == "auto":
-        # marchy scenes: the march tape exceeds a tile's VMEM; very deep
-        # bounce trees: the unrolled kernel transpose blows up compile time
-        blocked = static.has_warp or static.max_nodes > AUTO_BWD_MAX_NODES
-        backward = "blocked" if blocked else "pallas"
+        # marchy scenes keep the blocked lax recompute: the march tape
+        # (hundreds of steps) exceeds a tile's VMEM even chunk-wise
+        backward = "blocked" if static.has_warp else "pallas"
     if backward == "pallas":
-        # shallow trees leave VMEM headroom for larger tiles (config1:
-        # 1.24 ms vs 2.9 ms full-frame 720p backward on v5e); deeper ones
-        # (max_nodes > 3) overflow the compile at (8, 256) already
-        bwd_tile = BWD_TILE_SHALLOW if static.max_nodes <= 3 else BWD_TILE
-        gt, gc, gtm = vjp_pallas(static, tables, cam, H, W, g, bwd_tile,
-                                 time, interpret, y0, rows)
+        if static.max_nodes > UNROLL_BWD_MAX_NODES:
+            # deep tree: segmented hand-checkpointed kernels
+            gt, gc, gtm = vjp_pallas_segmented(
+                static, tables, cam, H, W, g, BWD_TILE, time, interpret,
+                y0, rows, CHUNK_TRIPS)
+        else:
+            # shallow trees leave VMEM headroom for larger tiles (config1:
+            # 1.24 ms vs 2.9 ms full-frame 720p backward on v5e); deeper
+            # ones (max_nodes > 3) overflow the compile at (8, 256) already
+            bwd_tile = (BWD_TILE_SHALLOW if static.max_nodes <= 3
+                        else BWD_TILE)
+            gt, gc, gtm = vjp_pallas(static, tables, cam, H, W, g,
+                                     bwd_tile, time, interpret, y0, rows)
     else:
         gt, gc, gtm = vjp_blocked(static, tables, cam, H, W, g,
                                   BWD_BLOCK_ROWS, time, y0, rows)

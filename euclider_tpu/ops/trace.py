@@ -327,6 +327,85 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
     return dr, dg, db, branches
 
 
+def _bounce_plan(static, differentiable):
+    """Static branch-liveness plan shared by trace_batch and the chunked
+    backward (pallas_kernel): which deferred branches can exist at all."""
+    ents = static.entities
+    D = static.max_depth
+    prune = not differentiable
+    sa1 = static.surf_alpha1 or (False,) * len(static.surf_kinds)
+    sr0 = static.surf_refl0 or (False,) * len(static.surf_kinds)
+    any_transmit = any((e.portal is not None) or not sa1[e.surface]
+                       for e in ents)
+    any_reflect = any(not sr0[e.surface] for e in ents)
+    do_transmit = D >= 2 and (any_transmit or not prune)
+    do_reflect = D >= 2 and (any_reflect or not prune)
+    used_surfs = sorted({e.surface for e in ents})
+    return used_surfs, do_transmit, do_reflect
+
+
+def bounce_init(static, tables, org0: Vec, d0: Vec, differentiable,
+                texture_matmul, time):
+    """Peel the primary node; returns (ar, ag, ab, slots, sp) — the loop
+    carry minus the trip counter — or (ar, ag, ab, None, None) when the
+    scene statically has no deferred branches."""
+    used_surfs, do_transmit, do_reflect = _bounce_plan(static,
+                                                       differentiable)
+    D = static.max_depth
+    S = D + 1
+    bshape = jnp.shape(org0.x)
+    dt = jnp.asarray(org0.x).dtype
+    zf = jnp.zeros(bshape, dt)
+    zi = jnp.zeros(bshape, jnp.int32)
+    zvec = Vec(zf, zf, zf, zf)
+
+    ar, ag, ab, branches = _shade_node(
+        static, tables, org0, d0, jnp.ones(bshape, dt),
+        jnp.full(bshape, static.ambient, jnp.int32),
+        jnp.full(bshape, jnp.int32(D)), jnp.ones(bshape, bool),
+        differentiable, used_surfs, do_transmit, do_reflect,
+        depth_ge2=None, texture_matmul=texture_matmul, time=time)
+    if not branches:
+        return ar, ag, ab, None, None
+
+    empty = (zvec, zvec, zf, zi, zi)
+    slots = tuple(empty for _ in range(S))
+    sp = zi
+    for k, (mask, val) in enumerate(branches):
+        slots = write_slot(slots, sp, mask, val, kmax=k + 1)
+        sp = sp + mask.astype(jnp.int32)
+    return ar, ag, ab, slots, sp
+
+
+def make_bounce_body(static, tables, differentiable, texture_matmul, time):
+    """One trip of the DFS loop: body(carry) with
+    carry = (sp, it, ar, ag, ab, slots)."""
+    used_surfs, do_transmit, do_reflect = _bounce_plan(static,
+                                                       differentiable)
+
+    def body(carry):
+        sp, it, ar, ag, ab, slots = carry
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        org, d, wgt, mat, depth = read_slot(slots, top)
+        sp = jnp.where(active, sp - 1, sp)
+
+        dr, dg, db, branches = _shade_node(
+            static, tables, org, d, wgt, mat, depth, active,
+            differentiable, used_surfs, do_transmit, do_reflect,
+            depth_ge2=(depth >= 2), texture_matmul=texture_matmul,
+            time=time)
+        ar, ag, ab = ar + dr, ag + dg, ab + db
+
+        for mask, val in branches:
+            slots = write_slot(slots, sp, mask, val)
+            sp = sp + mask.astype(jnp.int32)
+
+        return (sp, it + 1, ar, ag, ab, slots)
+
+    return body
+
+
 def trace_batch(static, tables, org0: Vec, d0: Vec,
                 differentiable: bool = False, texture_matmul: bool = False,
                 time=0.0, remat: bool = False, unroll: bool = False):
@@ -352,70 +431,21 @@ def trace_batch(static, tables, org0: Vec, d0: Vec,
     machinery, all-matte scenes (reflectivity == 0) the reflection push.
     Both prunings are value-exact: the elided branches have weight exactly 0.
     """
-    ents = static.entities
-    D = static.max_depth
-    S = D + 1
-    bshape = jnp.shape(org0.x)
-    dt = jnp.asarray(org0.x).dtype
-    zf = jnp.zeros(bshape, dt)
-    zi = jnp.zeros(bshape, jnp.int32)
-    zvec = Vec(zf, zf, zf, zf)
-
-    used_surfs = sorted({e.surface for e in ents})
-
-    prune = not differentiable
-    sa1 = static.surf_alpha1 or (False,) * len(static.surf_kinds)
-    sr0 = static.surf_refl0 or (False,) * len(static.surf_kinds)
-    any_transmit = any((e.portal is not None) or not sa1[e.surface]
-                       for e in ents)
-    any_reflect = any(not sr0[e.surface] for e in ents)
-    do_transmit = D >= 2 and (any_transmit or not prune)
-    do_reflect = D >= 2 and (any_reflect or not prune)
-
     # --- peeled primary node (stack state statically known) ---------------
-    ar, ag, ab, branches = _shade_node(
-        static, tables, org0, d0, jnp.ones(bshape, dt),
-        jnp.full(bshape, static.ambient, jnp.int32),
-        jnp.full(bshape, jnp.int32(D)), jnp.ones(bshape, bool),
-        differentiable, used_surfs, do_transmit, do_reflect,
-        depth_ge2=None, texture_matmul=texture_matmul, time=time)
-
-    if not branches:
+    ar, ag, ab, slots, sp = bounce_init(static, tables, org0, d0,
+                                        differentiable, texture_matmul,
+                                        time)
+    if slots is None:
         return ar, ag, ab
 
-    empty = (zvec, zvec, zf, zi, zi)
-    slots = tuple(empty for _ in range(S))
-    sp = zi
-    for k, (mask, val) in enumerate(branches):
-        slots = write_slot(slots, sp, mask, val, kmax=k + 1)
-        sp = sp + mask.astype(jnp.int32)
-    it0 = jnp.int32(0)
+    body = make_bounce_body(static, tables, differentiable, texture_matmul,
+                            time)
 
     def cond(carry):
         sp, it, _, _, _, _ = carry
         return (it < static.max_nodes - 1) & jnp.any(sp > 0)
 
-    def body(carry):
-        sp, it, ar, ag, ab, slots = carry
-        active = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        org, d, wgt, mat, depth = read_slot(slots, top)
-        sp = jnp.where(active, sp - 1, sp)
-
-        dr, dg, db, branches = _shade_node(
-            static, tables, org, d, wgt, mat, depth, active,
-            differentiable, used_surfs, do_transmit, do_reflect,
-            depth_ge2=(depth >= 2), texture_matmul=texture_matmul,
-            time=time)
-        ar, ag, ab = ar + dr, ag + dg, ab + db
-
-        for mask, val in branches:
-            slots = write_slot(slots, sp, mask, val)
-            sp = sp + mask.astype(jnp.int32)
-
-        return (sp, it + 1, ar, ag, ab, slots)
-
-    carry = (sp, it0, ar, ag, ab, slots)
+    carry = (sp, jnp.int32(0), ar, ag, ab, slots)
     if differentiable:
         step = jax.checkpoint(body) if remat else body
         if unroll:
