@@ -699,7 +699,10 @@ def _fwd(static, tables, cam, H, W, time, backward, tile, interpret, y0,
 
 
 UNROLL_BWD_MAX_NODES = 15      # full unroll up to here; segmented beyond
-CHUNK_TRIPS = 8                # trips per segment in the deep backward
+# trips per segment in the deep backward: 16 beats 8 on v5e (config2 at
+# 720p: 71.5 vs 91.9 ms — fewer HBM boundary round-trips); 31 is past what
+# the TPU compile helper accepts for one chunk kernel
+CHUNK_TRIPS = 16
 BWD_TILE_SHALLOW = (16, 256)   # v5e sweep: depth<=2 trees fit bigger tiles
 
 
