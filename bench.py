@@ -90,23 +90,19 @@ def main() -> int:
         return 1
 
     # correctness gate against the C++ oracle at low res (shared helper —
-    # utils/validate.py, same gate tools/perfprobe.py applies per scene)
-    try:
-        from euclider_tpu.utils.validate import oracle_check
+    # utils/validate.py, same gate tools/perfprobe.py applies per scene).
+    # HARD gate: any failure — mismatch, broken oracle build, import error —
+    # exits nonzero before a throughput number can be printed.  A bench that
+    # cannot prove its image is right has no number to report.
+    from euclider_tpu.utils.validate import assert_oracle_match
 
-        if backend == "pallas":
-            from euclider_tpu.ops.pallas_kernel import render_image_pallas as rp
-            rfn = lambda st, t, c, h, w, tm: rp(st, t, c, h, w)
-        else:
-            rfn = lambda st, t, c, h, w, tm: et.render_image_jit(st, t, c, h, w)
-        frac, maxerr = oracle_check(static, tables, cam, rfn)
-        log(f"correctness vs C++ oracle (48x128): frac_ok={frac:.4f} "
-            f"maxerr={maxerr:.2e}")
-        if frac < 0.99:
-            log("ERROR: correctness gate failed")
-            return 1
-    except Exception as e:
-        log(f"oracle check skipped: {type(e).__name__}: {e}")
+    if backend == "pallas":
+        from euclider_tpu.ops.pallas_kernel import render_image_pallas as rp
+        rfn = lambda st, t, c, h, w, tm: rp(st, t, c, h, w)
+    else:
+        rfn = lambda st, t, c, h, w, tm: et.render_image_jit(st, t, c, h, w)
+    frac = assert_oracle_match(static, tables, cam, rfn, label=SCENE)
+    log(f"correctness vs C++ oracle (48x128): frac_ok={frac:.4f}")
 
     v = float(frame_loop())  # compile + warm
     assert np.isfinite(v), v

@@ -14,6 +14,11 @@ compared before/after the step; a flip marks a crossing.  The crossing is
 refined *after* the march loop by bisection on the stored step segment, so
 the hot loop stays lean.  Everything is fixed-trip-count, masked, and
 batched — the 'iterative bounded-depth march' mandated by BASELINE.json:5.
+
+The loop is decomposed into march_init / make_march_body / march_finish so
+the in-kernel checkpointed backward (ops/pallas_vjp.py) can drive the same
+step function under its hand-rolled reverse sweep; march_hit composes them
+for the forward paths.
 """
 from __future__ import annotations
 
@@ -34,43 +39,33 @@ def warp_accel(center: Vec, strength, x: Vec) -> Vec:
     return V.scale(d, strength * inv_r3)
 
 
-def march_hit(static, tables, org: Vec, d0: Vec, accel_fn, h,
-              differentiable: bool = False, active=None):
-    """March a batch of rays; returns the first entity-boundary crossing.
+def march_init(static, tables, org: Vec, d0: Vec, active=None):
+    """Initial march carry: (x, v, done, sx0, sx1, sv, sides, crossed, dist).
 
-    ``accel_fn(x: Vec) -> Vec`` is the per-ray acceleration field (already
-    material-dispatched by the caller — ops.trace.make_accel) and ``h`` the
-    per-ray step size.  Straight-material rays can pass through with a zero
-    field (they march straight); callers normally mask them out — pass their
-    mask as ``active`` so the forward path's early-exit while_loop can skip
-    the whole march when no ray needs it.
-
-    With ``differentiable=True`` the loop is a static fori_loop (reverse-mode
-    differentiable); otherwise a while_loop that exits as soon as every
-    active ray is done.
-
-    Returns (hit, p, dir_at_hit, ent_sel, normal, u, v) where ent_sel is an
-    i32 entity index (garbage when ~hit) and normal is unoriented.
-    """
+    Loop carries use int32 flags, not bool: Mosaic rejects i1 vector
+    carries ("Unsupported target bitwidth for truncation")."""
     ents = static.entities
-    E = len(ents)
     zero = jnp.zeros_like(org.x)
     zi = jnp.zeros(jnp.shape(org.x), jnp.int32)
+    sides0 = tuple(G.side(e.shape, tables, org).astype(jnp.int32)
+                   for e in ents)
+    crossed0 = tuple(zi for _ in range(len(ents)))
+    done0 = zi if active is None else (~active).astype(jnp.int32)
+    return (org, d0, done0,                               # x, v, done
+            org, org, d0,                                 # seg x0, x1, v
+            sides0, crossed0, zero)                       # sides, crossed, dist
 
-    # loop carries use int32 flags, not bool: Mosaic rejects i1 vector
-    # carries ("Unsupported target bitwidth for truncation")
+
+def make_march_body(static, tables, accel_fn, h):
+    """One march step: body(carry) -> carry (shared by the forward loops and
+    the checkpointed reverse sweep in ops/pallas_vjp.py)."""
+    ents = static.entities
+    E = len(ents)
+
     def side_i(node, p):
         return G.side(node, tables, p).astype(jnp.int32)
 
-    sides0 = tuple(side_i(e.shape, org) for e in ents)
-    crossed0 = tuple(zi for _ in range(E))
-    done0 = zi if active is None else (~active).astype(jnp.int32)
-
-    carry = (org, d0, done0,                               # x, v, done
-             org, org, d0,                                 # seg x0, x1, v
-             sides0, crossed0, zero)                       # sides, crossed, dist
-
-    def body(_, carry):
+    def body(carry):
         x, v, done, sx0, sx1, sv, sides, crossed, dist = carry
         a = accel_fn(x)
         v1 = V.normalize(V.madd(v, h, a))
@@ -96,18 +91,16 @@ def march_hit(static, tables, org: Vec, d0: Vec, accel_fn, h,
         dist = jnp.where(done_b, dist, dist + h)
         return (x, v, done_next, sx0, sx1, sv, sides, crossed, dist)
 
-    if differentiable:
-        carry = jax.lax.fori_loop(0, static.march_steps, body, carry)
-    else:
-        def cond(sc):
-            step, c = sc
-            return (step < static.march_steps) & jnp.any(c[2] == 0)
+    return body
 
-        def wbody(sc):
-            step, c = sc
-            return step + 1, body(step, c)
 
-        _, carry = jax.lax.while_loop(cond, wbody, (jnp.int32(0), carry))
+def march_finish(static, tables, org: Vec, carry):
+    """Bisection refinement of the first crossing recorded in ``carry``.
+
+    Returns (hit, p, dir_at_hit, ent_sel, normal, u, v) — the march_hit
+    output contract."""
+    ents = static.entities
+    zero = jnp.zeros_like(org.x)
     _, _, _, sx0, sx1, sv, _, crossed_i, _ = carry
     crossed = tuple(c == 1 for c in crossed_i)
 
@@ -158,7 +151,46 @@ def march_hit(static, tables, org: Vec, d0: Vec, accel_fn, h,
         best_n = V.where(take, n_e, best_n)
         best_u = jnp.where(take, u_e, best_u)
         best_v = jnp.where(take, v_e, best_v)
-        ent_sel = jnp.where(take, jnp.int32(ei), ent_sel)
         hit = hit | crossed[ei]
 
+        ent_sel = jnp.where(take, jnp.int32(ei), ent_sel)
+
     return hit, best_p, sv, ent_sel, best_n, best_u, best_v
+
+
+def march_hit(static, tables, org: Vec, d0: Vec, accel_fn, h,
+              differentiable: bool = False, active=None):
+    """March a batch of rays; returns the first entity-boundary crossing.
+
+    ``accel_fn(x: Vec) -> Vec`` is the per-ray acceleration field (already
+    material-dispatched by the caller — ops.trace.make_accel) and ``h`` the
+    per-ray step size.  Straight-material rays can pass through with a zero
+    field (they march straight); callers normally mask them out — pass their
+    mask as ``active`` so the forward path's early-exit while_loop can skip
+    the whole march when no ray needs it.
+
+    With ``differentiable=True`` the loop is a static fori_loop (reverse-mode
+    differentiable); otherwise a while_loop that exits as soon as every
+    active ray is done.
+
+    Returns (hit, p, dir_at_hit, ent_sel, normal, u, v) where ent_sel is an
+    i32 entity index (garbage when ~hit) and normal is unoriented.
+    """
+    carry = march_init(static, tables, org, d0, active)
+    body0 = make_march_body(static, tables, accel_fn, h)
+    body = lambda _, c: body0(c)
+
+    if differentiable:
+        carry = jax.lax.fori_loop(0, static.march_steps, body, carry)
+    else:
+        def cond(sc):
+            step, c = sc
+            return (step < static.march_steps) & jnp.any(c[2] == 0)
+
+        def wbody(sc):
+            step, c = sc
+            return step + 1, body(step, c)
+
+        _, carry = jax.lax.while_loop(cond, wbody, (jnp.int32(0), carry))
+
+    return march_finish(static, tables, org, carry)

@@ -544,6 +544,13 @@ def vjp_pallas_segmented(static, tables, cam, H: int, W: int, g,
     trips = static.max_nodes - 1
     K = max(1, -(-trips // chunk_trips))
     c = -(-trips // K)
+    # exact trip budget: the last chunk runs the remainder, so the chunks
+    # sum to `trips` exactly.  K*c would overshoot on uneven splits (e.g.
+    # 4*16 = 64 for config2's 62 trips) — harmless only when the scene's
+    # DFS tree fits max_nodes; for truncated traversals the extra trips
+    # would pop nodes the forward never shaded (ADVICE r3).
+    sizes = [c] * (K - 1) + [trips - (K - 1) * c]
+    assert sizes[-1] >= 1 and sum(sizes) == trips, (trips, K, c)
 
     template = _carry_template(static, Rp, Wp)
     t_leaves, treedef = jax.tree.flatten(template)
@@ -580,9 +587,9 @@ def vjp_pallas_segmented(static, tables, cam, H: int, W: int, g,
                 treedef),
         [cam_spec] + view_specs, carry_specs, list(t_leaves),
         cam_row, *views)]
-    fwd_chunk = partial(_seg_fwd_kernel, static, H, W, TH, TW, n_views, c,
-                        False, treedef)
-    for _ in range(K):
+    for ci in sizes:
+        fwd_chunk = partial(_seg_fwd_kernel, static, H, W, TH, TW, n_views,
+                            ci, False, treedef)
         bounds.append(run(fwd_chunk,
                           [cam_spec] + view_specs + carry_specs,
                           carry_specs, list(t_leaves),
@@ -595,10 +602,10 @@ def vjp_pallas_segmented(static, tables, cam, H: int, W: int, g,
     dcr = jnp.zeros((1, 24), jnp.float32)
     dvs = [jnp.zeros(v.shape, jnp.float32) for v in views]
 
-    bwd_chunk = partial(_seg_bwd_kernel, static, H, W, TH, TW, n_views, c,
-                        False, treedef, n_dfl)
     dfl_shapes = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in f_leaves]
     for k in range(K, 0, -1):
+        bwd_chunk = partial(_seg_bwd_kernel, static, H, W, TH, TW, n_views,
+                            sizes[k - 1], False, treedef, n_dfl)
         outs = run(bwd_chunk,
                    [cam_spec] + view_specs + carry_specs + dfl_specs,
                    dfl_specs + grad_specs, dfl_shapes + grad_shapes,

@@ -1,0 +1,488 @@
+"""In-kernel checkpointed backward: the whole recompute-VJP in ONE kernel.
+
+Round-3's deep/marchy backward paths paid for their tape in HBM: the
+segmented kernels (ops/pallas_kernel.vjp_pallas_segmented) park every
+chunk-boundary DFS carry in HBM (~50 full frames per boundary), and marchy
+scenes fell off the kernel entirely to a row-blocked lax recompute.  This
+module replaces both with a single Pallas kernel per tile grid that
+
+  * re-runs the forward bounce loop as a ROLLED fori over K chunks, parking
+    the chunk-boundary carries in a VMEM scratch stack (dynamic-indexed
+    ``ref[pl.ds(k, 1)]`` stores — no HBM traffic, no per-chunk kernel
+    launches, code size independent of scene depth);
+  * walks the chunks in reverse with a second rolled fori whose body loads
+    checkpoint k and re-runs its ``cA`` trips under ``jax.vjp`` — the
+    transpose is straight-line code Mosaic lowers, traced ONCE;
+  * handles the march loop (SURVEY.md §3.4 non-Euclidean propagation) with a
+    nested custom-VJP of the same shape: the march fwd checkpoints every
+    ``cB`` steps as SSA residuals, and its bwd replays one chunk at a time
+    through a VMEM step-state stack with a rolled per-step reverse sweep —
+    so a 320-step march differentiates with O(march_steps/cB + cB) VMEM and
+    O(1) code copies;
+  * skips drained work at TILE granularity with ``lax.cond``: bounce chunks
+    whose checkpointed stacks are empty pass cotangents through unchanged,
+    and tiles with no marching ray skip the march machinery entirely — the
+    backward inherits the forward's early-exit economics.
+
+Together: no HBM boundary carries, one kernel launch for the entire
+backward, and every scene — straight, deep, marchy, 4D — stays on the
+Pallas path in both directions.  Capability probes for the Mosaic features
+this rests on live in tools/mosaic_probe.py.
+
+Reference contract: SURVEY.md §6 "speed-of-light fwd+bwd per chip" over the
+§3.3/§3.4 trace semantics (the reference itself has no autodiff — SURVEY §1).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.compile import CameraParams
+from . import march as M
+from . import trace as T
+from .pallas_kernel import (_cdiv, _grads_from_rows, _merge_carry,
+                            _pack_camera, _split_carry, _table_views,
+                            _unpack_tables)
+from .vec import Vec
+
+# chunk-size defaults (v5e, (8,128) tiles): cA bounce trips per Level-A
+# chunk, cB march steps per Level-B chunk.  VMEM cost ~
+#   K * carry_leaves * tile  +  (march_steps/cB + cB) * march_leaves * tile.
+DEFAULT_TRIP_CHUNK_STRAIGHT = 4
+DEFAULT_TRIP_CHUNK_MARCH = 1
+DEFAULT_MARCH_CHUNK = 20
+
+
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def _tree_zeros(t):
+    return jax.tree.map(lambda x: jnp.zeros(jnp.shape(x), x.dtype), t)
+
+
+# ---------------------------------------------------------------------------
+# Level B: checkpointed march custom-VJP (runs inside the trip transpose)
+# ---------------------------------------------------------------------------
+
+def make_march_ckpt(static, cB, st_refs):
+    """Returns a ``march_impl`` for ops.trace.propagate whose backward is the
+    hand-rolled checkpointed reverse sweep.
+
+    ``st_refs``: VMEM scratch refs, one per march-carry leaf, each
+    [cB, TH, TW] — the per-step state stack one chunk's reverse sweep
+    replays through (allocated once at kernel top, reused per chunk)."""
+    steps = static.march_steps
+    nB = max(1, -(-steps // cB))
+
+    def _chunk(body, carry, base):
+        """cB steps starting at global step ``base`` (static); steps past
+        ``march_steps`` are exact no-ops (value-parity with the plain
+        fori/while march)."""
+        gate = base + cB > steps
+
+        def stepf(i, c):
+            out = body(c)
+            if not gate:
+                return out
+            pad = (base + i) >= steps
+            return jax.tree.map(lambda a, b: jnp.where(pad, a, b), c, out)
+
+        return jax.lax.fori_loop(0, cB, stepf, carry)
+
+    def _run_fwd(tables, time, mat_ids, org, d0, h, active):
+        accel_fn = T.make_accel(static, tables, mat_ids, time)
+        body = M.make_march_body(static, tables, accel_fn, h)
+        carry = M.march_init(static, tables, org, d0, active)
+        cks = []
+        for b in range(nB):
+            cks.append(carry)
+            carry = _chunk(body, carry, b * cB)
+        return carry, tuple(cks)
+
+    def _encode(outs):
+        hit, p, dvec, ent, n, u, v = outs
+        return (hit.astype(jnp.float32), p, dvec, ent.astype(jnp.float32),
+                n, u, v)
+
+    @jax.custom_vjp
+    def march(tables, time, mat_f, org, d0, h, active_f):
+        carry, _ = _run_fwd(tables, time, mat_f.astype(jnp.int32), org, d0,
+                            h, active_f > 0.5)
+        return _encode(M.march_finish(static, tables, org, carry))
+
+    def march_fwd(tables, time, mat_f, org, d0, h, active_f):
+        carry, cks = _run_fwd(tables, time, mat_f.astype(jnp.int32), org, d0,
+                              h, active_f > 0.5)
+        out = _encode(M.march_finish(static, tables, org, carry))
+        return out, (tables, time, mat_f, org, d0, h, active_f, cks, carry)
+
+    def march_bwd(res, cots):
+        tables, time, mat_f, org, d0, h, active_f, cks, carryT = res
+        mat_ids = mat_f.astype(jnp.int32)
+        _, d_p, d_dvec, _, d_n, d_u, d_v = cots   # hit/ent cots are inert
+
+        # ---- 1) transpose the bisection finish at the final carry ----
+        flT, ilT, metaT = _split_carry(carryT)
+
+        def fin(tbl, org_, fl):
+            carry = _merge_carry(fl, ilT, metaT)
+            hit, p, dvec, ent, n, u, v = M.march_finish(static, tbl, org_,
+                                                        carry)
+            return (p, dvec, n, u, v)
+
+        _, vjp_fin = jax.vjp(fin, tables, org, flT)
+        d_tbl, d_org_fin, dfl = vjp_fin((d_p, d_dvec, d_n, d_u, d_v))
+
+        # ---- 2) rolled reverse sweep over march chunks ----
+        d_time = jnp.zeros((), jnp.float32)
+        d_h = jnp.zeros_like(h)
+        n_leaves = len(jax.tree.leaves(cks[0]))
+        assert n_leaves == len(st_refs), (n_leaves, len(st_refs))
+        _, ck_treedef = jax.tree.flatten(cks[0])
+
+        for b in reversed(range(nB)):
+            base = b * cB
+            gate = base + cB > steps
+
+            # forward replay of this chunk storing per-step PRE-states
+            def store_step(i, c, base=base, gate=gate):
+                for r, leaf in zip(st_refs, jax.tree.leaves(c)):
+                    r[pl.ds(i, 1)] = leaf[None]
+                accel_fn = T.make_accel(static, tables, mat_ids, time)
+                body = M.make_march_body(static, tables, accel_fn, h)
+                out = body(c)
+                if not gate:
+                    return out
+                pad = (base + i) >= steps
+                return jax.tree.map(lambda a, o: jnp.where(pad, a, o), c, out)
+
+            jax.lax.fori_loop(0, cB, store_step, cks[b])
+
+            # rolled per-step transpose (traced once)
+            def rev(j, acc, base=base, gate=gate):
+                dfl, d_tbl, d_time, d_h = acc
+                i = cB - 1 - j
+                leaves_i = [r[pl.ds(i, 1)][0] for r in st_refs]
+                carry_i = jax.tree.unflatten(ck_treedef, leaves_i)
+                fl_i, il_i, meta_i = _split_carry(carry_i)
+
+                def stepf(fl, tbl, tm, hh):
+                    accel_fn = T.make_accel(static, tbl, mat_ids, tm)
+                    body = M.make_march_body(static, tbl, accel_fn, hh)
+                    out = body(_merge_carry(fl, il_i, meta_i))
+                    if gate:
+                        pad = (base + i) >= steps
+                        out = jax.tree.map(
+                            lambda a, o: jnp.where(pad, a, o),
+                            _merge_carry(fl, il_i, meta_i), out)
+                    return _split_carry(out)[0]
+
+                _, vjp = jax.vjp(stepf, fl_i, tables, time, h)
+                dfl, dt_i, dtm_i, dh_i = vjp(dfl)
+                return (dfl, _tree_add(d_tbl, dt_i), d_time + dtm_i,
+                        d_h + dh_i)
+
+            dfl, d_tbl, d_time, d_h = jax.lax.fori_loop(
+                0, cB, rev, (dfl, d_tbl, d_time, d_h))
+
+        # ---- 3) map carry0 cotangents back to the march inputs ----
+        # carry0 = (x=org, v=d0, done, sx0=org, sx1=org, sv=d0, sides,
+        #           crossed, dist=0): float order (x, v, sx0, sx1, sv, dist)
+        c0 = M.march_init(static, tables, org, d0, active_f > 0.5)
+        _, _, meta0 = _split_carry(c0)
+        d_c0 = _merge_carry(dfl, jax.tree.map(jnp.zeros_like,
+                                              _split_carry(c0)[1]), meta0)
+        dx, dv, _, dsx0, dsx1, dsv, _, _, _ = d_c0
+        vadd = lambda a, b: Vec(a.x + b.x, a.y + b.y, a.z + b.z, a.w + b.w)
+        d_org = vadd(vadd(dx, dsx0), vadd(dsx1, d_org_fin))
+        d_d0 = vadd(dv, dsv)
+        # march_init's sides come from G.side(org) — integer predicates,
+        # zero cotangent (matches the plain fori march's AD)
+        return (d_tbl, d_time, jnp.zeros_like(mat_f), d_org, d_d0, d_h,
+                jnp.zeros_like(active_f))
+
+    march.defvjp(march_fwd, march_bwd)
+
+    def impl(st, tbl, tm, mids, org, d, h, wm):
+        def live(args):
+            tbl, tm, mat_f, org, d, h, wm_f = args
+            return march(tbl, tm, mat_f, org, d, h, wm_f)
+
+        def dead(args):
+            tbl, tm, mat_f, org, d, h, wm_f = args
+            zf = jnp.zeros_like(org.x)
+            return (zf, org, d, zf, Vec(zf, zf, zf, zf), zf, zf)
+
+        hit_f, p, dvec, ent_f, n, u, v = jax.lax.cond(
+            jnp.any(wm), live, dead,
+            (tbl, tm, mids.astype(jnp.float32), org, d, h,
+             wm.astype(jnp.float32)))
+        return hit_f > 0.5, p, dvec, ent_f.astype(jnp.int32), n, u, v
+
+    return impl
+
+
+def _march_impl_fast(st, tbl, tm, mids, org, d, h, wm):
+    """Forward-sweep march: the early-exiting while loop (value-identical to
+    the fixed-trip fori — masked steps are no-ops — and it exits immediately
+    on tiles with no marching ray)."""
+    accel_fn = T.make_accel(st, tbl, mids, tm)
+    return M.march_hit(st, tbl, org, d, accel_fn, h, differentiable=False,
+                       active=wm)
+
+
+# ---------------------------------------------------------------------------
+# Level A: the kernel
+# ---------------------------------------------------------------------------
+
+def _march_state_shapes(static, TH, TW):
+    """ShapeDtypeStructs of the march carry leaves (flatten order)."""
+    f = lambda: jax.ShapeDtypeStruct((TH, TW), jnp.float32)
+    i = lambda: jax.ShapeDtypeStruct((TH, TW), jnp.int32)
+    vec = lambda: Vec(f(), f(), f(), f())
+    E = len(static.entities)
+    carry = (vec(), vec(), i(), vec(), vec(), vec(),
+             tuple(i() for _ in range(E)), tuple(i() for _ in range(E)), f())
+    return jax.tree.leaves(carry)
+
+
+def _carry5_shapes(static, TH, TW):
+    """ShapeDtypeStructs of the (sp, ar, ag, ab, slots) bounce carry."""
+    f = lambda: jax.ShapeDtypeStruct((TH, TW), jnp.float32)
+    i = lambda: jax.ShapeDtypeStruct((TH, TW), jnp.int32)
+    vec = lambda: Vec(f(), f(), f(), f())
+    S = static.max_depth + 1
+    slot = lambda: (vec(), vec(), f(), i(), i())
+    carry = (i(), f(), f(), f(), tuple(slot() for _ in range(S)))
+    leaves, treedef = jax.tree.flatten(carry)
+    return leaves, treedef
+
+
+def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
+    view_refs = refs[:n_views]
+    g_ref = refs[n_views]
+    out_refs = refs[n_views + 1:]     # d_cam_row then d_views
+
+    cam_row = cam_ref[:]
+    views = tuple(r[:] for r in view_refs)
+    g_tile = g_ref[:]                 # [3, TH, TW]
+
+    # program_id must be read OUTSIDE run_scoped: the scoped body is
+    # re-traced during state discharge (interpret mode) without the grid
+    # context, so only the already-materialised scalars may be closed over
+    iy0 = pl.program_id(0) * TH
+    ix0 = pl.program_id(1) * TW
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    trips = static.max_nodes - 1
+
+    def rays(cr):
+        cam = CameraParams(position=cr[0, 0:4], forward=cr[0, 4:8],
+                           up=cr[0, 8:12], right=cr[0, 12:16],
+                           tan_half_fov=cr[0, 16])
+        yi = (iy0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+              ).astype(jnp.float32) + cr[0, 18]
+        xi = (ix0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+              ).astype(jnp.float32)
+        return T.camera_rays(cam, xi, yi, W, H)
+
+    def write_grads(dcr, dvs):
+        for o, gr in zip(out_refs, [dcr] + list(dvs)):
+            @pl.when(first)
+            def _(o=o, gr=gr):
+                o[...] = gr
+
+            @pl.when(jnp.logical_not(first))
+            def _(o=o, gr=gr):
+                o[...] += gr
+
+    if static.max_depth < 2 or trips < 1:
+        # no deferred branches: the peel IS the whole trace
+        def scoped_shallow(*march_refs):
+            march_diff = (make_march_ckpt(static, cB, march_refs)
+                          if static.has_warp else None)
+
+            def peel_rgb(cr, *vs):
+                tbl = _unpack_tables(vs)
+                org, d = rays(cr)
+                ar, ag, ab, _, _ = T.bounce_init(static, tbl, org, d, True,
+                                                 True, cr[0, 17],
+                                                 march_impl=march_diff)
+                return (ar, ag, ab)
+
+            _, vjp = jax.vjp(peel_rgb, cam_row, *views)
+            douts = vjp((g_tile[0], g_tile[1], g_tile[2]))
+            write_grads(douts[0], douts[1:])
+
+        march_shapes = (_march_state_shapes(static, TH, TW)
+                        if static.has_warp else [])
+        pl.run_scoped(scoped_shallow,
+                      *[pltpu.VMEM((cB,) + s.shape, s.dtype)
+                        for s in march_shapes])
+        return
+
+    K = _cdiv(trips, cA)
+    ck_shapes, treedef5 = _carry5_shapes(static, TH, TW)
+    is_f = tuple(jnp.issubdtype(s.dtype, jnp.floating) for s in ck_shapes)
+    n_dfl = sum(is_f)
+    march_shapes = (_march_state_shapes(static, TH, TW)
+                    if static.has_warp else [])
+
+    def scoped(*scratch):
+        ck_refs = scratch[:len(ck_shapes)]
+        march_refs = scratch[len(ck_shapes):]
+        march_diff = (make_march_ckpt(static, cB, march_refs)
+                      if static.has_warp else None)
+        march_fast = _march_impl_fast if static.has_warp else None
+        time = cam_row[0, 17]
+        tables_v = _unpack_tables(views)
+
+        # ---- forward sweep: peel + K rolled chunks, checkpoints in VMEM --
+        org0, d0 = rays(cam_row)
+        ar, ag, ab, slots, sp = T.bounce_init(static, tables_v, org0, d0,
+                                              True, True, time,
+                                              march_impl=march_fast)
+        carry0 = (sp, ar, ag, ab, slots)
+
+        body_fast = T.make_bounce_body(static, tables_v, True, True, time,
+                                       max_trips=trips,
+                                       march_impl=march_fast)
+
+        def fwd_chunk(k, c5):
+            for r, leaf in zip(ck_refs, jax.tree.leaves(c5)):
+                r[pl.ds(k, 1)] = leaf[None]
+
+            def run(c5):
+                c6 = (c5[0], k * cA, c5[1], c5[2], c5[3], c5[4])
+                for _ in range(cA):
+                    c6 = body_fast(c6)
+                return (c6[0], c6[2], c6[3], c6[4], c6[5])
+
+            return jax.lax.cond(jnp.any(c5[0] > 0), run, lambda c: c, c5)
+
+        jax.lax.fori_loop(0, K, fwd_chunk, carry0)
+
+        # ---- backward sweep: rolled reverse chunk loop ----
+        f_leaves = [s for s, f in zip(ck_shapes, is_f) if f]
+        dfl0 = tuple(
+            [g_tile[0], g_tile[1], g_tile[2]]
+            + [jnp.zeros(s.shape, s.dtype) for s in f_leaves[3:]])
+        dcr0 = jnp.zeros((1, 24), jnp.float32)
+        dvs0 = tuple(jnp.zeros(v.shape, jnp.float32) for v in views)
+
+        def bwd_chunk(j, acc):
+            dfl, dcr, dvs = acc
+            k = K - 1 - j
+            leaves_k = [r[pl.ds(k, 1)][0] for r in ck_refs]
+            c5_k = jax.tree.unflatten(treedef5, leaves_k)
+            fl_k, il_k, meta_k = _split_carry(c5_k)
+
+            def live(args):
+                fl_k, dfl = args
+
+                def chunk_fn(fl, cr, *vs):
+                    tbl = _unpack_tables(vs)
+                    body = T.make_bounce_body(static, tbl, True, True,
+                                              cr[0, 17], max_trips=trips,
+                                              march_impl=march_diff)
+                    c5 = _merge_carry(fl, il_k, meta_k)
+                    c6 = (c5[0], k * cA, c5[1], c5[2], c5[3], c5[4])
+                    for _ in range(cA):
+                        c6 = body(c6)
+                    return _split_carry(
+                        (c6[0], c6[2], c6[3], c6[4], c6[5]))[0]
+
+                _, vjp = jax.vjp(chunk_fn, fl_k, cam_row, *views)
+                douts = vjp(tuple(dfl))
+                return (tuple(douts[0]), douts[1], tuple(douts[2:]))
+
+            def dead(args):
+                fl_k, dfl = args
+                return (tuple(dfl), jnp.zeros((1, 24), jnp.float32),
+                        tuple(jnp.zeros(v.shape, jnp.float32)
+                              for v in views))
+
+            dfl2, dcr_i, dvs_i = jax.lax.cond(jnp.any(c5_k[0] > 0), live,
+                                              dead, (fl_k, dfl))
+            return (dfl2, dcr + dcr_i,
+                    tuple(a + b for a, b in zip(dvs, dvs_i)))
+
+        dfl, dcr, dvs = jax.lax.fori_loop(0, K, bwd_chunk,
+                                          (dfl0, dcr0, dvs0))
+
+        # ---- transpose the peel ----
+        def peel_fl(cr, *vs):
+            tbl = _unpack_tables(vs)
+            org, d = rays(cr)
+            ar, ag, ab, slots, sp = T.bounce_init(static, tbl, org, d, True,
+                                                  True, cr[0, 17],
+                                                  march_impl=march_diff)
+            return _split_carry((sp, ar, ag, ab, slots))[0]
+
+        _, vjp = jax.vjp(peel_fl, cam_row, *views)
+        douts = vjp(tuple(dfl))
+        dcr = dcr + douts[0]
+        dvs = tuple(a + b for a, b in zip(dvs, douts[1:]))
+        write_grads(dcr, dvs)
+
+    pl.run_scoped(
+        scoped,
+        *[pltpu.VMEM((K,) + s.shape, s.dtype) for s in ck_shapes],
+        *[pltpu.VMEM((cB,) + s.shape, s.dtype) for s in march_shapes])
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 6, 8, 10, 11, 12))
+def vjp_pallas_ckpt(static, tables, cam, H: int, W: int, g, tile=(8, 128),
+                    time=0.0, interpret: bool = False, y0=0.0,
+                    rows: int | None = None, trip_chunk: int | None = None,
+                    march_chunk: int = DEFAULT_MARCH_CHUNK):
+    """Backward of a Pallas render through the in-kernel checkpointed VJP.
+
+    Same contract as pallas_kernel.vjp_pallas: returns (d_tables, d_cam,
+    d_time) with dtypes matching the primals; ``y0``/``rows`` restrict to a
+    row slab of the global frame (the sharded training path)."""
+    TH, TW = tile
+    R = H if rows is None else rows
+    Rp, Wp = _cdiv(R, TH) * TH, _cdiv(W, TW) * TW
+    views = _table_views(tables)
+    n_views = len(views)
+    grid = (Rp // TH, Wp // TW)
+    if trip_chunk is None:
+        trip_chunk = (DEFAULT_TRIP_CHUNK_MARCH if static.has_warp
+                      else DEFAULT_TRIP_CHUNK_STRAIGHT)
+
+    g = jnp.moveaxis(jnp.asarray(g, jnp.float32), -1, 0)        # [3, R, W]
+    g = jnp.pad(g, ((0, 0), (0, Rp - R), (0, Wp - W)))          # [3, Rp, Wp]
+    cam_row = _pack_camera(cam, time, y0)
+
+    in_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    for v in views:
+        in_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((3, TH, TW), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((1, 24), jnp.float32)]
+    for v in views:
+        out_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(v.shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        partial(_ckpt_kernel, static, H, W, TH, TW, n_views, trip_chunk,
+                march_chunk),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(cam_row, *views, g)
+
+    return _grads_from_rows(outs[0], outs[1:], tables, cam)

@@ -157,19 +157,28 @@ def nearest_hit_straight(static, tables, org: Vec, d: Vec):
 
 
 def propagate(static, tables, org: Vec, d: Vec, mat_ids,
-              differentiable: bool = False, time=0.0):
+              differentiable: bool = False, time=0.0, march_impl=None):
     """One segment: from org along d inside material mat_ids until the first
-    entity boundary.  Returns (hit, p, dir_at_hit, ent, normal, u, v)."""
+    entity boundary.  Returns (hit, p, dir_at_hit, ent, normal, u, v).
+
+    ``march_impl`` overrides how warped-space rays are marched: a callable
+    (static, tables, time, mat_ids, org, d, h, active) -> march_hit's seven
+    outputs.  The in-kernel checkpointed backward (ops/pallas_vjp.py) passes
+    its custom-VJP march here; the default is the plain fori/while loop."""
     t, hit, ent, n, u, v = nearest_hit_straight(static, tables, org, d)
     p = V.madd(org, t, d)
     dout = d
     if static.has_warp:
         wm = warp_mask(static, mat_ids)
-        accel_fn = make_accel(static, tables, mat_ids, time)
         h = warp_step(static, tables, mat_ids)
-        mh_hit, mh_p, mh_d, mh_ent, mh_n, mh_u, mh_v = M.march_hit(
-            static, tables, org, d, accel_fn, h,
-            differentiable=differentiable, active=wm)
+        if march_impl is not None:
+            mh_hit, mh_p, mh_d, mh_ent, mh_n, mh_u, mh_v = march_impl(
+                static, tables, time, mat_ids, org, d, h, wm)
+        else:
+            accel_fn = make_accel(static, tables, mat_ids, time)
+            mh_hit, mh_p, mh_d, mh_ent, mh_n, mh_u, mh_v = M.march_hit(
+                static, tables, org, d, accel_fn, h,
+                differentiable=differentiable, active=wm)
         # logical merge, not jnp.where: Mosaic cannot lower selects between
         # i1 vectors ("Unsupported target bitwidth for truncation")
         hit = (wm & mh_hit) | (~wm & hit)
@@ -215,7 +224,8 @@ def write_slot(slots, idx, mask, val, kmax=None):
 
 def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
                 differentiable, used_surfs, do_transmit, do_reflect,
-                depth_ge2, texture_matmul=False, time=0.0):
+                depth_ge2, texture_matmul=False, time=0.0,
+                march_impl=None):
     """Shade one DFS node: propagate to the nearest boundary, accumulate the
     local color term, and emit up to two deferred branches.
 
@@ -231,7 +241,7 @@ def _shade_node(static, tables, org: Vec, d: Vec, wgt, mat, depth, active,
     zf = jnp.zeros(bshape, dt)
 
     hit, p, dout, ent, n, u, v = propagate(static, tables, org, d, mat,
-                                           differentiable, time)
+                                           differentiable, time, march_impl)
     hit = hit & active
     miss = active & ~hit
 
@@ -345,7 +355,7 @@ def _bounce_plan(static, differentiable):
 
 
 def bounce_init(static, tables, org0: Vec, d0: Vec, differentiable,
-                texture_matmul, time):
+                texture_matmul, time, march_impl=None):
     """Peel the primary node; returns (ar, ag, ab, slots, sp) — the loop
     carry minus the trip counter — or (ar, ag, ab, None, None) when the
     scene statically has no deferred branches."""
@@ -364,7 +374,8 @@ def bounce_init(static, tables, org0: Vec, d0: Vec, differentiable,
         jnp.full(bshape, static.ambient, jnp.int32),
         jnp.full(bshape, jnp.int32(D)), jnp.ones(bshape, bool),
         differentiable, used_surfs, do_transmit, do_reflect,
-        depth_ge2=None, texture_matmul=texture_matmul, time=time)
+        depth_ge2=None, texture_matmul=texture_matmul, time=time,
+        march_impl=march_impl)
     if not branches:
         return ar, ag, ab, None, None
 
@@ -377,15 +388,24 @@ def bounce_init(static, tables, org0: Vec, d0: Vec, differentiable,
     return ar, ag, ab, slots, sp
 
 
-def make_bounce_body(static, tables, differentiable, texture_matmul, time):
+def make_bounce_body(static, tables, differentiable, texture_matmul, time,
+                     max_trips=None, march_impl=None):
     """One trip of the DFS loop: body(carry) with
-    carry = (sp, it, ar, ag, ab, slots)."""
+    carry = (sp, it, ar, ag, ab, slots).
+
+    ``max_trips`` additionally gates the trip on the global trip counter
+    ``it`` (trips at it >= max_trips are exact no-ops) — the chunked
+    backward (ops/pallas_vjp.py) pads its rolled chunk loop to a multiple of
+    the chunk size, and padded trips must not pop nodes the forward never
+    shaded (the truncated-traversal hazard, ADVICE r3)."""
     used_surfs, do_transmit, do_reflect = _bounce_plan(static,
                                                        differentiable)
 
     def body(carry):
         sp, it, ar, ag, ab, slots = carry
         active = sp > 0
+        if max_trips is not None:
+            active = active & (it < max_trips)
         top = jnp.maximum(sp - 1, 0)
         org, d, wgt, mat, depth = read_slot(slots, top)
         sp = jnp.where(active, sp - 1, sp)
@@ -394,7 +414,7 @@ def make_bounce_body(static, tables, differentiable, texture_matmul, time):
             static, tables, org, d, wgt, mat, depth, active,
             differentiable, used_surfs, do_transmit, do_reflect,
             depth_ge2=(depth >= 2), texture_matmul=texture_matmul,
-            time=time)
+            time=time, march_impl=march_impl)
         ar, ag, ab = ar + dr, ag + dg, ab + db
 
         for mask, val in branches:

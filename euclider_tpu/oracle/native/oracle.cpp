@@ -23,6 +23,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <algorithm>
 
 namespace {
@@ -78,6 +79,62 @@ static inline double perlin_fbm(double pu, double pv, int octaves,
         freq *= 2.0;
     }
     return std::min(1.0, std::max(0.0, 0.5 + 0.5 * acc));
+}
+
+// --- expression stack VM (scene/expr.py opcode table) -----------------------
+// Free function so the ctypes test surface (euclider_eval_expr below) can
+// drive it directly with raw programs.  Scene program depth is validated at
+// IR time on the Python side (scene/expr.py stack-depth check) and again by
+// to_postfix; the in-VM bound here is defense in depth for callers handing
+// the C ABI a raw program: a push past the 64-slot stack returns NaN instead
+// of corrupting the frame (ADVICE/VERDICT r3).
+static double expr_vm(const int32_t* ops, const double* vals, int lo, int hi,
+                      const double* vars) {
+    double st[64];
+    int sp = 0;
+    for (int i = lo; i < hi; i++) {
+        if (sp >= 64) return std::numeric_limits<double>::quiet_NaN();
+        double val = vals[i];
+        switch (ops[i]) {
+        case 0: st[sp++] = val; break;                        // const
+        case 1: st[sp++] = vars[(int)val]; break;             // var
+        case 2: sp--; st[sp - 1] += st[sp]; break;            // add
+        case 3: sp--; st[sp - 1] -= st[sp]; break;            // sub
+        case 4: sp--; st[sp - 1] *= st[sp]; break;            // mul
+        case 5: sp--; st[sp - 1] /= st[sp]; break;            // div
+        case 6: st[sp - 1] = -st[sp - 1]; break;              // neg
+        case 7: {                                             // powi
+            int n = (int)val;
+            if (n == 0) { st[sp - 1] = 1.0; break; }
+            double a = st[sp - 1], acc = a;
+            for (int k = 1; k < (n < 0 ? -n : n); k++) acc *= a;
+            st[sp - 1] = n < 0 ? 1.0 / acc : acc;
+            break;
+        }
+        case 8:  // powf: exp(b * log(a)), matching eval_ast exactly
+            sp--;
+            st[sp - 1] = std::exp(st[sp] * std::log(st[sp - 1]));
+            break;
+        case 9:  st[sp - 1] = std::sin(st[sp - 1]); break;
+        case 10: st[sp - 1] = std::cos(st[sp - 1]); break;
+        case 11: st[sp - 1] = std::tanh(st[sp - 1]); break;
+        case 12: st[sp - 1] = std::exp(st[sp - 1]); break;
+        case 13: st[sp - 1] = std::log(st[sp - 1]); break;
+        case 14: st[sp - 1] = std::sqrt(st[sp - 1]); break;
+        case 15: st[sp - 1] = std::fabs(st[sp - 1]); break;
+        case 16: st[sp - 1] = std::floor(st[sp - 1]); break;
+        case 17:                                              // sign
+            st[sp - 1] = (st[sp - 1] > 0.0) - (st[sp - 1] < 0.0);
+            break;
+        case 18: st[sp - 1] = std::atan(st[sp - 1]); break;
+        case 19: st[sp - 1] = std::asin(st[sp - 1]); break;
+        case 20: st[sp - 1] = std::acos(st[sp - 1]); break;
+        case 21: sp--; st[sp - 1] = std::min(st[sp - 1], st[sp]); break;
+        case 22: sp--; st[sp - 1] = std::max(st[sp - 1], st[sp]); break;
+        case 23: sp--; st[sp - 1] = std::atan2(st[sp - 1], st[sp]); break;
+        }
+    }
+    return st[0];
 }
 
 struct V4 {
@@ -376,51 +433,8 @@ struct Scene {
 
     // ---- expression VM (scene/expr.py opcode table) --------------------------
     double eval_prog(int prog, const double* vars) const {
-        int lo = expr_off[prog], hi = expr_off[prog + 1];
-        double st[64];
-        int sp = 0;
-        for (int i = lo; i < hi; i++) {
-            double val = expr_vals[i];
-            switch (expr_ops[i]) {
-            case 0: st[sp++] = val; break;                        // const
-            case 1: st[sp++] = vars[(int)val]; break;             // var
-            case 2: sp--; st[sp - 1] += st[sp]; break;            // add
-            case 3: sp--; st[sp - 1] -= st[sp]; break;            // sub
-            case 4: sp--; st[sp - 1] *= st[sp]; break;            // mul
-            case 5: sp--; st[sp - 1] /= st[sp]; break;            // div
-            case 6: st[sp - 1] = -st[sp - 1]; break;              // neg
-            case 7: {                                             // powi
-                int n = (int)val;
-                if (n == 0) { st[sp - 1] = 1.0; break; }
-                double a = st[sp - 1], acc = a;
-                for (int k = 1; k < (n < 0 ? -n : n); k++) acc *= a;
-                st[sp - 1] = n < 0 ? 1.0 / acc : acc;
-                break;
-            }
-            case 8:  // powf: exp(b * log(a)), matching eval_ast exactly
-                sp--;
-                st[sp - 1] = std::exp(st[sp] * std::log(st[sp - 1]));
-                break;
-            case 9:  st[sp - 1] = std::sin(st[sp - 1]); break;
-            case 10: st[sp - 1] = std::cos(st[sp - 1]); break;
-            case 11: st[sp - 1] = std::tanh(st[sp - 1]); break;
-            case 12: st[sp - 1] = std::exp(st[sp - 1]); break;
-            case 13: st[sp - 1] = std::log(st[sp - 1]); break;
-            case 14: st[sp - 1] = std::sqrt(st[sp - 1]); break;
-            case 15: st[sp - 1] = std::fabs(st[sp - 1]); break;
-            case 16: st[sp - 1] = std::floor(st[sp - 1]); break;
-            case 17:                                              // sign
-                st[sp - 1] = (st[sp - 1] > 0.0) - (st[sp - 1] < 0.0);
-                break;
-            case 18: st[sp - 1] = std::atan(st[sp - 1]); break;
-            case 19: st[sp - 1] = std::asin(st[sp - 1]); break;
-            case 20: st[sp - 1] = std::acos(st[sp - 1]); break;
-            case 21: sp--; st[sp - 1] = std::min(st[sp - 1], st[sp]); break;
-            case 22: sp--; st[sp - 1] = std::max(st[sp - 1], st[sp]); break;
-            case 23: sp--; st[sp - 1] = std::atan2(st[sp - 1], st[sp]); break;
-            }
-        }
-        return st[0];
+        return expr_vm(expr_ops, expr_vals, expr_off[prog],
+                       expr_off[prog + 1], vars);
     }
 
     // acceleration field of a warped material (kind 2 attractor, kind 3 expr)
@@ -654,6 +668,12 @@ void euclider_oracle_render(
                 out[(iy * W + ix) * 3 + c] = (float)rgb[c];
         }
     }
+}
+
+double euclider_eval_expr(const int32_t* ops, const double* vals, int n,
+                          const double* vars) {
+    // direct VM entry for tests (incl. the over-deep-program NaN guard)
+    return expr_vm(ops, vals, 0, n, vars);
 }
 
 }  // extern "C"

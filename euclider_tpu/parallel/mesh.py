@@ -63,6 +63,19 @@ def _local_slab_pallas(static, H, W, Hl, tile, interpret, time, tables, cam):
                                Hl)
 
 
+def _local_slab_pallas_diff(static, H, W, Hl, tile, interpret, time, tables,
+                            cam):
+    """Differentiable per-shard Pallas render: megakernel forward + Pallas
+    backward per chip via the custom_vjp (the same composition the sharded
+    training path uses, train/inverse.py)."""
+    from ..ops.pallas_kernel import render_image_pallas_diff
+
+    row0 = jax.lax.axis_index("rows") * Hl
+    return render_image_pallas_diff(static, tables, cam, H, W, time, "auto",
+                                    tile, interpret,
+                                    row0.astype(jnp.float32), Hl)
+
+
 def render_image_sharded(static, tables, cam, H: int, W: int,
                          mesh: Mesh | None = None,
                          differentiable: bool = False,
@@ -70,9 +83,11 @@ def render_image_sharded(static, tables, cam, H: int, W: int,
                          interpret: bool = False, time=0.0):
     """Sharded full-frame render -> [H, W, 3], rows sharded over the mesh.
 
-    ``backend='pallas'`` runs the megakernel per shard (forward only —
-    gradients go through the lax path); 'lax' supports both.  On a CPU
-    mesh pass ``interpret=True``.
+    ``backend='pallas'`` runs the megakernel per shard; with
+    ``differentiable=True`` gradients go through the per-chip Pallas
+    backward (render_image_pallas_diff inside the shard_map — the same
+    composition the sharded training path uses).  On a CPU mesh pass
+    ``interpret=True``.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -81,11 +96,9 @@ def render_image_sharded(static, tables, cam, H: int, W: int,
         raise ValueError(f"H={H} not divisible by mesh size {n}")
     Hl = H // n
     if backend == "pallas":
-        if differentiable:
-            raise ValueError("backend='pallas' is forward-only here; use "
-                             "the lax backend for sharded gradients")
-        local = partial(_local_slab_pallas, static, H, W, Hl, tile,
-                        interpret, time)
+        slab = _local_slab_pallas_diff if differentiable \
+            else _local_slab_pallas
+        local = partial(slab, static, H, W, Hl, tile, interpret, time)
     else:
         local = partial(_local_slab, static, H, W, Hl, differentiable, time)
     f = shard_map(local, mesh=mesh, in_specs=(P(), P()),

@@ -244,7 +244,15 @@ def eval_ast(node: Ast, env: Dict[str, Any], lib):
             acc = a
             for _ in range(abs(n) - 1):
                 acc = acc * a
-            return 1.0 / acc if n < 0 else acc
+            if n < 0:
+                # the reciprocal is a division: route it through the lib's
+                # (possibly safe-guarded) div so x^-n at x == 0 on a masked
+                # lane cannot ride 0*inf into the gradients (ADVICE r3);
+                # the unguarded numpy/C++ paths keep raw 1/acc for
+                # bit-exact oracle parity
+                div = lib.get("div")
+                return div(1.0, acc) if div is not None else 1.0 / acc
+            return acc
         b = eval_ast(e, env, lib)
         return lib["exp"](b * lib["log"](a))
     if k == "call":
@@ -304,7 +312,12 @@ def jax_lib(safe: bool = False):
                          lambda x: jnp.where(x > 0, 0.0, math.pi))
 
     def safe_div(a, b):
-        ok = jnp.abs(b) > 1e-30
+        # guard only b == 0, the true singularity — tiny-but-legitimate
+        # (subnormal) divisors divide normally, so domain-valid scenes are
+        # numerically identical to the unguarded oracle (ADVICE r3; the
+        # residual divergence is only |a/b| overflowing to inf, which is a
+        # genuine overflow the oracle would also produce)
+        ok = b != 0
         return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
 
     lib["div"] = safe_div

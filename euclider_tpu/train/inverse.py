@@ -31,27 +31,28 @@ class InverseParams(NamedTuple):
     cam: object      # CameraParams
 
 
-def _local_loss(static, H, W, Hl, tables, cam, target_slab):
+def _local_loss(static, H, W, Hl, tables, cam, time, target_slab):
     row0 = jax.lax.axis_index("rows") * Hl
     yi = (row0.astype(jnp.float32)
           + jax.lax.broadcasted_iota(jnp.float32, (Hl, W), 0))
     xi = jax.lax.broadcasted_iota(jnp.float32, (Hl, W), 1)
     org, d = T.camera_rays(cam, xi, yi, W, H)
-    r, g, b = T.trace_batch(static, tables, org, d, differentiable=True)
+    r, g, b = T.trace_batch(static, tables, org, d, differentiable=True,
+                            time=time)
     img = jnp.stack([r, g, b], axis=-1)
     l = jnp.mean((img - target_slab) ** 2)
     return jax.lax.pmean(l, "rows")
 
 
 def _local_loss_pallas(static, H, W, Hl, tile, interpret, tables, cam,
-                       target_slab):
+                       time, target_slab):
     """Per-shard loss through the differentiable Pallas path: megakernel
     forward AND Pallas backward kernel per chip (custom_vjp inside the
     shard_map; the grads' psum still rides the shard_map transpose)."""
     from ..ops.pallas_kernel import render_image_pallas_diff
 
     row0 = jax.lax.axis_index("rows") * Hl
-    img = render_image_pallas_diff(static, tables, cam, H, W, 0.0, "auto",
+    img = render_image_pallas_diff(static, tables, cam, H, W, time, "auto",
                                    tile, interpret,
                                    row0.astype(jnp.float32), Hl)
     l = jnp.mean((img - target_slab) ** 2)
@@ -65,7 +66,12 @@ def make_loss_fn(static, H: int, W: int, mesh: Mesh,
 
     backend='pallas' runs both the forward render and the backward pass
     through the Pallas kernels on every chip (interpret=True on CPU
-    meshes); 'lax' is the whole-XLA path."""
+    meshes); 'lax' is the whole-XLA path.
+
+    The returned loss takes an optional scene ``time`` (the reference's
+    ``trace(time, ...)`` argument, SURVEY.md §3.3): animated ExprSpace
+    scenes can be inverse-rendered per frame, and time itself receives a
+    gradient through both backends."""
     n = mesh.devices.size
     if H % n:
         raise ValueError(f"H={H} not divisible by mesh size {n}")
@@ -76,11 +82,12 @@ def make_loss_fn(static, H: int, W: int, mesh: Mesh,
     else:
         local = partial(_local_loss, static, H, W, Hl)
     sharded = shard_map(local, mesh=mesh,
-                        in_specs=(P(), P(), P("rows")),
+                        in_specs=(P(), P(), P(), P("rows")),
                         out_specs=P(), check_vma=False)
 
-    def loss(params: InverseParams, target):
-        return sharded(params.tables, params.cam, target)
+    def loss(params: InverseParams, target, time=0.0):
+        return sharded(params.tables, params.cam,
+                       jnp.asarray(time, jnp.float32), target)
 
     return loss
 
@@ -90,7 +97,7 @@ def make_train_step(static, H: int, W: int, mesh: Mesh, optimizer,
                     tile=(16, 128), interpret: bool = False):
     """Returns (jitted step fn, initial optimizer state).
 
-    step(params, opt_state, target) -> (params, opt_state, loss).
+    step(params, opt_state, target, time=0.0) -> (params, opt_state, loss).
     Gradients of the replicated params are psum-reduced over the mesh inside
     the backward pass.  backend='pallas' runs forward AND backward through
     the Pallas kernels on each chip (see make_loss_fn).
@@ -99,8 +106,8 @@ def make_train_step(static, H: int, W: int, mesh: Mesh, optimizer,
     opt_state = optimizer.init(params)
 
     @jax.jit
-    def step(params, opt_state, target):
-        l, g = jax.value_and_grad(loss_fn)(params, target)
+    def step(params, opt_state, target, time=0.0):
+        l, g = jax.value_and_grad(loss_fn)(params, target, time)
         updates, opt_state = optimizer.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, l

@@ -285,6 +285,35 @@ def test_pallas_segmented_backward_matches_lax_vjp():
     assert np.isclose(float(gtm_ref), float(gtm_seg), atol=1e-4)
 
 
+def test_pallas_segmented_truncated_tree():
+    """Uneven chunking on a TRUNCATED traversal (settings.max_nodes caps the
+    DFS below the full tree): trips=3 with chunk_trips=2 must run chunks of
+    [2, 1] — the old K*c=4 overshoot popped a node the forward never shaded,
+    so the gradients stopped corresponding to the rendered primal
+    (ADVICE r3, medium)."""
+    from dataclasses import replace
+
+    from euclider_tpu.ops.pallas_kernel import vjp_pallas_segmented
+
+    sc = et.get_scene("grad_probe")
+    sc = replace(sc, settings=replace(sc.settings, max_depth=3, max_nodes=4))
+    static, tables = et.compile_scene(sc)
+    assert static.max_nodes == 4  # truncated: full depth-3 tree is 7
+    cam = et.compile_camera(sc.camera)
+    t32 = _tab_to_f32(tables)
+    g = np.random.default_rng(5).normal(size=(H, W, 3)).astype(np.float32)
+    tm = jnp.float32(0.0)
+
+    _, vjp = jax.vjp(
+        lambda t, c, tt: et.render_image(static, t, c, H, W, True, tt),
+        t32, cam, tm)
+    gt_ref, gc_ref, gtm_ref = vjp(jnp.asarray(g))
+    gt_seg, gc_seg, gtm_seg = vjp_pallas_segmented(
+        static, t32, cam, H, W, g, (8, 128), tm, True, 0.0, None, 2)
+    _assert_grads_close((gt_ref, gc_ref), (gt_seg, gc_seg))
+    assert np.isclose(float(gtm_ref), float(gtm_seg), atol=1e-4)
+
+
 def test_pallas_diff_render_textured():
     """End-to-end custom_vjp through render_image_pallas_diff on the CSG +
     texture scene: exercises the matmul texture sampler's transpose and the

@@ -35,3 +35,38 @@ def test_native_matches_lax_fullres():
     a = np.asarray(et.render_image_jit(static, tables, cam, 90, 160))
     b = render_native(static, tables, cam, 90, 160)
     assert_images_close(a, b, atol=1e-4, max_bad_frac=0.01, msg="90x160")
+
+
+def test_expr_vm_stack_bound():
+    """The C VM must refuse (NaN) a raw program that would overflow its
+    64-slot stack — defense in depth behind the Python-side IR validation
+    (scene/expr.py), exercised straight through the ctypes ABI
+    (VERDICT r3 'harden the two soft gates')."""
+    import ctypes
+
+    from euclider_tpu.oracle.native_oracle import _lib
+
+    lib = _lib()
+    lib.euclider_eval_expr.restype = ctypes.c_double
+
+    def run(ops, vals):
+        ops = np.asarray(ops, np.int32)
+        vals = np.asarray(vals, np.float64)
+        vars_ = np.zeros(13, np.float64)
+        return lib.euclider_eval_expr(
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(ops),
+            vars_.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+
+    # a well-formed program still evaluates: (2 + 3) * 4 = 20
+    ok = run([0, 0, 2, 0, 4], [2.0, 3.0, 0.0, 4.0, 0.0])
+    assert ok == 20.0
+
+    # 65 consecutive const pushes would write past st[63]: NaN, not UB
+    deep = run([0] * 65, [1.0] * 65)
+    assert np.isnan(deep)
+
+    # exactly 64 pushes fills the stack without overflowing
+    full = run([0] * 64, [float(i) for i in range(64)])
+    assert full == 0.0  # st[0] is the first push

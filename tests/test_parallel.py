@@ -140,6 +140,100 @@ def test_sharded_pallas_training_matches_lax(mesh):
         assert np.abs(a - b).max() <= tol, np.abs(a - b).max()
 
 
+def test_sharded_pallas_diff_render(mesh):
+    """render_image_sharded(differentiable=True, backend='pallas') must no
+    longer raise (VERDICT r3 item 5): it routes to render_image_pallas_diff
+    per shard, matches the lax forward, and its gradients match the sharded
+    differentiable lax path."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    sc = et.get_scene("grad_probe")
+    sc = replace(sc, settings=replace(sc.settings, max_depth=2))
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    tables = _f32(tables)
+    H, W = 16, 32
+
+    def mean_pal(t):
+        img = render_image_sharded(static, t, cam, H, W, mesh, True,
+                                   "pallas", (8, 128), True)
+        return jnp.mean(img * img)
+
+    def mean_lax(t):
+        img = render_image_sharded(static, t, cam, H, W, mesh, True)
+        return jnp.mean(img * img)
+
+    vp, gp = jax.value_and_grad(mean_pal)(tables)
+    vl, gl = jax.value_and_grad(mean_lax)(tables)
+    assert np.isclose(float(vp), float(vl), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gl), jax.tree.leaves(gp)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        tol = 1e-3 * max(np.abs(a).max(), 1.0) if a.size else 0.0
+        assert np.abs(a - b).max() <= tol
+
+
+def test_animated_scene_sharded_train(mesh):
+    """Scene time threads through the sharded loss (VERDICT r3 weak item 3):
+    an ExprSpace field depending on `t` produces different losses at
+    different times, and the train step accepts a time argument."""
+    import jax.numpy as jnp
+    import optax
+    from euclider_tpu.scene.ir import (Camera, Entity, ExprSpace, HalfSpace,
+                                       RenderSettings, Scene, Sphere,
+                                       UniformSurface)
+
+    wobble = ExprSpace(ax="p0 * sin(3.0 * t + z)", ay="0", az="0", aw="0",
+                       step=0.15, params=(0.8,))
+    sc = Scene(
+        dim=3,
+        name="animated_probe",
+        entities=(
+            Entity(Sphere((0.0, 0.0, -4.0), 1.4), material=wobble,
+                   surface=UniformSurface((0.0, 0.0, 0.0, 0.0)),
+                   name="wobble_region"),
+            Entity(Sphere((0.0, 0.0, -7.0), 1.0),
+                   surface=UniformSurface((0.9, 0.4, 0.2, 1.0)),
+                   name="backdrop"),
+            Entity(HalfSpace((0.0, -1.0, 0.0), 1.2),
+                   surface=UniformSurface((0.3, 0.5, 0.8, 1.0)),
+                   name="floor"),
+        ),
+        camera=Camera(position=(0.0, 0.3, 1.0, 0.0),
+                      forward=(0.0, -0.1, -0.99, 0.0),
+                      up=(0.0, 1.0, 0.0, 0.0), right=(1.0, 0.0, 0.0, 0.0),
+                      fov_deg=60.0),
+        settings=RenderSettings(max_depth=2, march_steps=32,
+                                background=(0.05, 0.05, 0.08)),
+    )
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    tables = _f32(tables)
+    H, W = 16, 32
+
+    loss_fn = make_loss_fn(static, H, W, mesh)
+    params = InverseParams(tables, cam)
+    target = shard_target(np.zeros((H, W, 3), np.float32), mesh)
+
+    l0 = float(loss_fn(params, target, 0.0))
+    l1 = float(loss_fn(params, target, 0.9))
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert abs(l0 - l1) > 1e-6, "time had no effect on the animated scene"
+
+    # time itself is differentiable through the sharded loss
+    gt = float(jax.grad(lambda tm: loss_fn(params, target, tm))(
+        jnp.float32(0.4)))
+    assert np.isfinite(gt) and gt != 0.0
+
+    # and the train step takes time
+    step, opt_state = make_train_step(static, H, W, mesh, optax.adam(1e-2),
+                                      params)
+    params2, _, l = step(params, opt_state, target, 0.9)
+    assert np.isfinite(float(l))
+    assert np.isclose(float(l), l1, rtol=1e-5)
+
+
 def test_grads_replicated_after_psum(compiled_scenes, mesh):
     """Parameter grads must come out identical (replicated) on every device."""
     _, static, tables, cam = compiled_scenes["grad_probe"]

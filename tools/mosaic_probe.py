@@ -1,0 +1,290 @@
+"""Mosaic capability probe for the in-kernel checkpointed VJP design.
+
+The round-4 backward architecture (ops/pallas_vjp.py) rests on four Mosaic
+lowering capabilities that the earlier kernels never exercised together:
+
+  1. run_scoped VMEM scratch with *dynamic* (traced) leading-index store/load
+     inside fori loops — the in-VMEM checkpoint stack.
+  2. jax.vjp-traced straight-line code inside a ROLLED fori body — the
+     hand-composed chunk transpose (trace-time construct, but the resulting
+     loop body must lower).
+  3. lax.cond with vector outputs inside a kernel, and inside a vjp'd
+     function (transpose-of-cond) — tile-level early exit in the backward.
+  4. custom_vjp whose bwd allocates its own scratch via run_scoped, nested
+     under an outer jax.vjp inside a fori body — the march-level machinery.
+
+Run:  python tools/mosaic_probe.py            (real TPU)
+      JAX_PLATFORMS=cpu python tools/mosaic_probe.py --interpret
+Each probe prints OK/FAIL with a max-error vs a pure-lax reference.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from functools import partial
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH, TW = 8, 128
+K = 6          # checkpoints
+C = 4          # steps per chunk
+
+
+def step(x, w):
+    """One nonlinear 'march step' with a parameter."""
+    return x + 0.1 * jnp.tanh(w * x)
+
+
+def ref_fwd(x, w):
+    for _ in range(K * C):
+        x = step(x, w)
+    return x
+
+
+# --- probe 1+2: checkpointed forward + hand-rolled reverse in one kernel ----
+
+def _ckpt_kernel(interpret_unused, x_ref, w_ref, g_ref, dx_ref, dw_ref):
+    x0 = x_ref[:]
+    w = w_ref[0, 0]
+    g = g_ref[:]
+
+    def body(ck):
+        def fwd_chunk(k, x):
+            ck[pl.ds(k, 1)] = x[None]
+            for _ in range(C):
+                x = step(x, w)
+            return x
+
+        jax.lax.fori_loop(0, K, fwd_chunk, x0)
+
+        def bwd_chunk(j, acc):
+            dx, dw = acc
+            k = K - 1 - j
+            xk = ck[pl.ds(k, 1)][0]
+
+            def chunk_fn(x, w):
+                for _ in range(C):
+                    x = step(x, w)
+                return x
+
+            _, vjp = jax.vjp(chunk_fn, xk, w)
+            dx, dwk = vjp(dx)
+            return dx, dw + dwk
+
+        dx, dw = jax.lax.fori_loop(0, K, bwd_chunk, (g, jnp.float32(0.0)))
+        dx_ref[:] = dx
+        dw_ref[0, 0] = dw
+
+    pl.run_scoped(body, pltpu.VMEM((K, TH, TW), jnp.float32))
+
+
+def probe_ckpt(interpret):
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(TH, TW)),
+                    jnp.float32)
+    w = jnp.float32(0.7)
+    g = jnp.asarray(np.random.default_rng(1).normal(size=(TH, TW)),
+                    jnp.float32)
+
+    dx, dw = pl.pallas_call(
+        partial(_ckpt_kernel, None),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((TH, TW), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.full((1, 1), w), g)
+
+    _, vjp = jax.vjp(ref_fwd, x, w)
+    dx_ref, dw_ref = vjp(g)
+    e1 = float(jnp.abs(dx - dx_ref).max())
+    e2 = abs(float(dw[0, 0]) - float(dw_ref))
+    return max(e1, e2 / max(abs(float(dw_ref)), 1.0))
+
+
+# --- probe 3: lax.cond in-kernel, plain and under vjp ------------------------
+
+def _cond_kernel(x_ref, g_ref, y_ref, dx_ref):
+    x = x_ref[:]
+    g = g_ref[:]
+
+    def f(x):
+        # tile-level gate on a traced predicate (data-dependent)
+        return jax.lax.cond(jnp.sum(x) > 0.0,
+                            lambda v: v * 2.0 + jnp.sin(v),
+                            lambda v: v * 0.5,
+                            x)
+
+    y, vjp = jax.vjp(f, x)
+    y_ref[:] = y
+    dx_ref[:] = vjp(g)[0]
+
+
+def probe_cond(interpret):
+    rng = np.random.default_rng(2)
+    err = 0.0
+    for shift in (1.0, -1.0):  # both branches
+        x = jnp.asarray(rng.normal(size=(TH, TW)) + shift, jnp.float32)
+        g = jnp.asarray(rng.normal(size=(TH, TW)), jnp.float32)
+        y, dx = pl.pallas_call(
+            _cond_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((TH, TW), jnp.float32)] * 2,
+            interpret=interpret,
+        )(x, g)
+
+        def f(x):
+            return jax.lax.cond(jnp.sum(x) > 0.0,
+                                lambda v: v * 2.0 + jnp.sin(v),
+                                lambda v: v * 0.5, x)
+
+        y_r, vjp = jax.vjp(f, x)
+        dx_r = vjp(g)[0]
+        err = max(err, float(jnp.abs(y - y_r).max()),
+                  float(jnp.abs(dx - dx_r).max()))
+    return err
+
+
+# --- probe 4: custom_vjp with run_scoped scratch in bwd, under outer vjp -----
+
+N_STEPS = 12
+CB = 4
+NB = N_STEPS // CB
+
+
+@jax.custom_vjp
+def inner_march(x, w):
+    def body(i, x):
+        return step(x, w)
+    return jax.lax.fori_loop(0, N_STEPS, body, x)
+
+
+def _inner_fwd(x, w):
+    # checkpoint stack built as SSA values (Python chunk loop, rolled inner)
+    cks = []
+    xc = x
+    for _ in range(NB):
+        cks.append(xc)
+        xc = jax.lax.fori_loop(0, CB, lambda i, v: step(v, w), xc)
+    return xc, (tuple(cks), w)
+
+
+def _inner_bwd(res, g):
+    cks, w = res
+
+    def scoped(st):
+        dx = g
+        dw = jnp.float32(0.0)
+        for b in reversed(range(NB)):
+            # recompute this chunk's per-step pre-states into scratch
+            def store(i, v):
+                st[pl.ds(i, 1)] = v[None]
+                return step(v, w)
+
+            jax.lax.fori_loop(0, CB, store, cks[b])
+
+            def rev(j, acc):
+                dx, dw = acc
+                i = CB - 1 - j
+                xi = st[pl.ds(i, 1)][0]
+                _, vjp = jax.vjp(step, xi, w)
+                dx, dwi = vjp(dx)
+                return dx, dw + dwi
+
+            dx, dw = jax.lax.fori_loop(0, CB, rev, (dx, dw))
+        return dx, dw
+
+    return pl.run_scoped(scoped, pltpu.VMEM((CB, TH, TW), jnp.float32))
+
+
+inner_march.defvjp(_inner_fwd, _inner_bwd)
+
+
+def _nested_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref):
+    x = x_ref[:]
+    w = w_ref[0, 0]
+    g = g_ref[:]
+
+    def outer(x, w):
+        # some surrounding 'shading' code around the marched value
+        y = inner_march(x * 1.5, w)
+        return jnp.cos(y) + y * 0.25
+
+    def body(j, acc):  # outer rolled loop: vjp traced once in the body
+        dx, dw = acc
+        _, vjp = jax.vjp(outer, x, w)
+        dxj, dwj = vjp(g)
+        return dx + dxj, dw + dwj
+
+    dx, dw = jax.lax.fori_loop(0, 2, body, (jnp.zeros((TH, TW), jnp.float32),
+                                            jnp.float32(0.0)))
+    dx_ref[:] = dx
+    dw_ref[0, 0] = dw
+
+
+def probe_nested(interpret):
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(TH, TW)) * 0.3,
+                    jnp.float32)
+    w = jnp.float32(0.9)
+    g = jnp.asarray(np.random.default_rng(4).normal(size=(TH, TW)),
+                    jnp.float32)
+
+    dx, dw = pl.pallas_call(
+        _nested_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((TH, TW), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.full((1, 1), w), g)
+
+    def outer(x, w):
+        y = x * 1.5
+        for _ in range(N_STEPS):
+            y = step(y, w)
+        return jnp.cos(y) + y * 0.25
+
+    _, vjp = jax.vjp(outer, x, w)
+    dx_r, dw_r = vjp(g)
+    e1 = float(jnp.abs(dx - 2 * dx_r).max())
+    e2 = abs(float(dw[0, 0]) - 2 * float(dw_r))
+    return max(e1, e2 / max(abs(2 * float(dw_r)), 1.0))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interpret", action="store_true")
+    args = ap.parse_args()
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    for name, fn, tol in [("ckpt_scratch_fori_vjp", probe_ckpt, 1e-5),
+                          ("cond_in_kernel_vjp", probe_cond, 1e-6),
+                          ("nested_custom_vjp_scoped", probe_nested, 1e-4)]:
+        try:
+            err = fn(args.interpret)
+            ok = err < tol
+            print(f"{name:28s} {'OK ' if ok else 'FAIL'} maxerr={err:.2e}")
+        except Exception as e:
+            print(f"{name:28s} ERROR {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()
