@@ -43,10 +43,16 @@ def march_init(static, tables, org: Vec, d0: Vec, active=None):
     """Initial march carry: (x, v, done, sx0, sx1, sv, sides, crossed, dist).
 
     Loop carries use int32 flags, not bool: Mosaic rejects i1 vector
-    carries ("Unsupported target bitwidth for truncation")."""
+    carries ("Unsupported target bitwidth for truncation").  The zero
+    leaves are derived from org.x (``org.x * 0``) rather than broadcast
+    constants: inside the chunked Pallas backward (ops/pallas_vjp.py) a
+    broadcast zero gets a *replicated* Mosaic layout, and a loop carry
+    initialised replicated but updated with concrete-layout values hits
+    "Invalid relayout: non-singleton dimension replicated in destination
+    but not in source".  XLA const-folds the multiply on the lax path."""
     ents = static.entities
-    zero = jnp.zeros_like(org.x)
-    zi = jnp.zeros(jnp.shape(org.x), jnp.int32)
+    zero = org.x * 0.0
+    zi = zero.astype(jnp.int32)
     sides0 = tuple(G.side(e.shape, tables, org).astype(jnp.int32)
                    for e in ents)
     crossed0 = tuple(zi for _ in range(len(ents)))

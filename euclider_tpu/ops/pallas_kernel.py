@@ -105,7 +105,10 @@ def _unpack_tables(refs) -> SceneTables:
         surf_refl=refl[:][:, 0],
         surf_fresnel=fres[:][:, 0],
         surf_uv_scale=uvs[:][:, 0],
-        portal_lin=plin[:].reshape(-1, 4, 4),
+        # kept FLAT [P, 16]: Mosaic cannot lower the 3D->2D tpu.reshape
+        # that the [P,4,4] view's transpose would need in the backward
+        # kernels; V.matvec consumes flat rows directly
+        portal_lin=plin[:],
         portal_tr=ptr[:],
         background=bg[:][0],
         textures=textures,   # packed [tw*3, th] — texture_matmul layout
@@ -686,10 +689,11 @@ def render_image_pallas_diff(static, tables, cam, H: int, W: int, time=0.0,
     Pallas backward kernel (per-tile recompute-VJP in VMEM) or the
     row-blocked lax recompute.
 
-    ``backward``: 'pallas' | 'blocked' | 'auto'.  'auto' picks the Pallas
-    kernel for straight-space scenes and falls back to the blocked lax
-    recompute for marchy (warp/expr) scenes, whose march-loop tape exceeds
-    a tile's VMEM budget.  Gradients flow to tables, cam AND time.
+    ``backward``: 'pallas' | 'ckpt' | 'blocked' | 'auto'.  'auto' picks the
+    fully-unrolled Pallas kernel for shallow straight-space scenes and the
+    in-kernel checkpointed VJP (ops/pallas_vjp.py) for marchy scenes and
+    deep trees; 'blocked' is the row-blocked lax recompute fallback.
+    Gradients flow to tables, cam AND time.
     ``y0``/``rows`` render + differentiate a row slab of the global frame —
     inside a rows-sharded shard_map this runs multi-chip *training* through
     the megakernels in both directions (train.inverse backend='pallas').
@@ -716,12 +720,24 @@ BWD_TILE_SHALLOW = (16, 256)   # v5e sweep: depth<=2 trees fit bigger tiles
 def _bwd(static, H, W, backward, tile, interpret, rows, res, g):
     tables, cam, time, y0 = res
     if backward == "auto":
-        # marchy scenes keep the blocked lax recompute: the march tape
-        # (hundreds of steps) exceeds a tile's VMEM even chunk-wise
-        backward = "blocked" if static.has_warp else "pallas"
-    if backward == "pallas":
+        # shallow straight-space trees: the fully-unrolled per-tile kernel
+        # with the largest tile that compiles (fastest by measurement).
+        # Everything else — marchy scenes AND deep trees — goes to the
+        # in-kernel checkpointed VJP (ops/pallas_vjp.py): rolled chunk
+        # loops with VMEM checkpoint stacks, one kernel, no HBM carries.
+        if static.has_warp or static.max_nodes > UNROLL_BWD_MAX_NODES:
+            backward = "ckpt"
+        else:
+            backward = "pallas"
+    if backward == "ckpt":
+        from .pallas_vjp import vjp_pallas_ckpt
+
+        gt, gc, gtm = vjp_pallas_ckpt(static, tables, cam, H, W, g,
+                                      BWD_TILE, time, interpret, y0, rows)
+    elif backward == "pallas":
         if static.max_nodes > UNROLL_BWD_MAX_NODES:
-            # deep tree: segmented hand-checkpointed kernels
+            # deep tree: segmented hand-checkpointed kernels (kept as the
+            # HBM-carry fallback; 'auto' prefers the in-kernel ckpt path)
             gt, gc, gtm = vjp_pallas_segmented(
                 static, tables, cam, H, W, g, BWD_TILE, time, interpret,
                 y0, rows, CHUNK_TRIPS)

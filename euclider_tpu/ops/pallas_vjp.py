@@ -65,17 +65,48 @@ def _tree_zeros(t):
     return jax.tree.map(lambda x: jnp.zeros(jnp.shape(x), x.dtype), t)
 
 
+def _laundered(tree):
+    """Force concrete Mosaic layouts by round-tripping through VMEM scratch.
+
+    Broadcast constants and splats carry *replicated* layouts ({*,*} /
+    {*,0}); a rolled scf.for carry whose INIT is replicated but whose body
+    yields concrete values dies in Mosaic with "Invalid relayout:
+    non-singleton dimension replicated in destination but not in source".
+    A VMEM store/load pair pins the standard tiled layout.  Scalars and
+    sub-2D leaves pass through untouched (they live in SREGs)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    idx = [i for i, l in enumerate(leaves) if jnp.ndim(l) >= 2]
+    if not idx:
+        return tree
+
+    def scoped(*refs):
+        out = []
+        for r, i in zip(refs, idx):
+            r[...] = leaves[i]
+            out.append(r[...])
+        return tuple(out)
+
+    outs = pl.run_scoped(
+        scoped, *[pltpu.VMEM(jnp.shape(leaves[i]), leaves[i].dtype)
+                  for i in idx])
+    for i, o in zip(idx, outs):
+        leaves[i] = o
+    return jax.tree.unflatten(treedef, leaves)
+
+
 # ---------------------------------------------------------------------------
 # Level B: checkpointed march custom-VJP (runs inside the trip transpose)
 # ---------------------------------------------------------------------------
 
-def make_march_ckpt(static, cB, st_refs):
+def make_march_ckpt(static, cB):
     """Returns a ``march_impl`` for ops.trace.propagate whose backward is the
     hand-rolled checkpointed reverse sweep.
 
-    ``st_refs``: VMEM scratch refs, one per march-carry leaf, each
-    [cB, TH, TW] — the per-step state stack one chunk's reverse sweep
-    replays through (allocated once at kernel top, reused per chunk)."""
+    The per-step state stack (one [cB, TH, TW] VMEM buffer per march-carry
+    leaf) is allocated INSIDE the bwd with pl.run_scoped: a custom_vjp bwd
+    must not close over refs allocated outside it — the Read effects then
+    reference variables that are not inputs of the transposed jaxpr
+    ("JaxprInputEffect does not have corresponding jaxpr input")."""
     steps = static.march_steps
     nB = max(1, -(-steps // cB))
 
@@ -97,11 +128,18 @@ def make_march_ckpt(static, cB, st_refs):
     def _run_fwd(tables, time, mat_ids, org, d0, h, active):
         accel_fn = T.make_accel(static, tables, mat_ids, time)
         body = M.make_march_body(static, tables, accel_fn, h)
-        carry = M.march_init(static, tables, org, d0, active)
+        carry = _laundered(M.march_init(static, tables, org, d0, active))
         cks = []
         for b in range(nB):
             cks.append(carry)
-            carry = _chunk(body, carry, b * cB)
+            # chunk-level early exit (both directions skip chunks whose
+            # lanes are all done — the checkpointed analog of the forward
+            # while-march): once every lane's done flag is set the chunk
+            # is an exact identity
+            carry = jax.lax.cond(jnp.all(carry[2] == 1),
+                                 lambda c: c,
+                                 lambda c, b=b: _chunk(body, c, b * cB),
+                                 carry)
         return carry, tuple(cks)
 
     def _encode(outs):
@@ -109,16 +147,42 @@ def make_march_ckpt(static, cB, st_refs):
         return (hit.astype(jnp.float32), p, dvec, ent.astype(jnp.float32),
                 n, u, v)
 
+    # The any-marching-ray gate lives INSIDE the custom_vjp fwd/bwd (plain
+    # primal/cotangent conds), never AROUND the custom_vjp call: a lax.cond
+    # wrapping a custom_vjp does not linearize under the outer chunk vjp
+    # (Mosaic's scan pattern-matcher rejects the residual-threaded scans the
+    # cond linearization produces).  Gated-off tiles cost one cond and some
+    # zeros in either direction.
+
+    def _gated_fwd(tables, time, mat_f, org, d0, h, active_f):
+        active = active_f > 0.5
+        carry0 = M.march_init(static, tables, org, d0, active)
+
+        def live(args):
+            tables, time, mat_f, org, d0, h, active_f = args
+            carry, cks = _run_fwd(tables, time, mat_f.astype(jnp.int32),
+                                  org, d0, h, active_f > 0.5)
+            return (_encode(M.march_finish(static, tables, org, carry)),
+                    cks, carry)
+
+        def dead(args):
+            tables, time, mat_f, org, d0, h, active_f = args
+            zf = jnp.zeros_like(org.x)
+            out = (zf, org, d0, zf, Vec(zf, zf, zf, zf), zf, zf)
+            return (out, tuple(carry0 for _ in range(nB)), carry0)
+
+        return jax.lax.cond(
+            jnp.any(active), live, dead,
+            (tables, time, mat_f, org, d0, h, active_f))
+
     @jax.custom_vjp
     def march(tables, time, mat_f, org, d0, h, active_f):
-        carry, _ = _run_fwd(tables, time, mat_f.astype(jnp.int32), org, d0,
-                            h, active_f > 0.5)
-        return _encode(M.march_finish(static, tables, org, carry))
+        out, _, _ = _gated_fwd(tables, time, mat_f, org, d0, h, active_f)
+        return out
 
     def march_fwd(tables, time, mat_f, org, d0, h, active_f):
-        carry, cks = _run_fwd(tables, time, mat_f.astype(jnp.int32), org, d0,
-                              h, active_f > 0.5)
-        out = _encode(M.march_finish(static, tables, org, carry))
+        out, cks, carry = _gated_fwd(tables, time, mat_f, org, d0, h,
+                                     active_f)
         return out, (tables, time, mat_f, org, d0, h, active_f, cks, carry)
 
     def march_bwd(res, cots):
@@ -135,60 +199,94 @@ def make_march_ckpt(static, cB, st_refs):
                                                         carry)
             return (p, dvec, n, u, v)
 
-        _, vjp_fin = jax.vjp(fin, tables, org, flT)
-        d_tbl, d_org_fin, dfl = vjp_fin((d_p, d_dvec, d_n, d_u, d_v))
+        ck_leaves, ck_treedef = jax.tree.flatten(cks[0])
 
-        # ---- 2) rolled reverse sweep over march chunks ----
-        d_time = jnp.zeros((), jnp.float32)
-        d_h = jnp.zeros_like(h)
-        n_leaves = len(jax.tree.leaves(cks[0]))
-        assert n_leaves == len(st_refs), (n_leaves, len(st_refs))
-        _, ck_treedef = jax.tree.flatten(cks[0])
+        # ---- 2) rolled reverse sweep over march chunks (scoped scratch,
+        #         tile-gated: a no-marching-ray tile pays one cond) --------
+        def sweep(*st_refs):
+            def live_sweep(cots):
+                d_p, d_dvec, d_n, d_u, d_v = cots
+                _, vjp_fin = jax.vjp(fin, tables, org, flT)
+                d_tbl, d_org_fin, dfl = vjp_fin((d_p, d_dvec, d_n, d_u,
+                                                 d_v))
+                d_tbl_s = d_tbl
+                d_time = jnp.zeros((), jnp.float32)
+                d_h = jnp.zeros_like(h)
+                dfl, d_tbl_s, d_h = _laundered((dfl, d_tbl_s, d_h))
+                for b in reversed(range(nB)):
+                    base = b * cB
+                    gate = base + cB > steps
+                    alive_b = jnp.any(cks[b][2] == 0)
 
-        for b in reversed(range(nB)):
-            base = b * cB
-            gate = base + cB > steps
+                    def run_chunk_bwd(acc, b=b, base=base, gate=gate):
+                        dfl, d_tbl_s, d_time, d_h = acc
 
-            # forward replay of this chunk storing per-step PRE-states
-            def store_step(i, c, base=base, gate=gate):
-                for r, leaf in zip(st_refs, jax.tree.leaves(c)):
-                    r[pl.ds(i, 1)] = leaf[None]
-                accel_fn = T.make_accel(static, tables, mat_ids, time)
-                body = M.make_march_body(static, tables, accel_fn, h)
-                out = body(c)
-                if not gate:
-                    return out
-                pad = (base + i) >= steps
-                return jax.tree.map(lambda a, o: jnp.where(pad, a, o), c, out)
+                        def store_step(i, c, base=base, gate=gate):
+                            for r, leaf in zip(st_refs,
+                                               jax.tree.leaves(c)):
+                                r[pl.ds(i, 1)] = leaf[None]
+                            accel_fn = T.make_accel(static, tables,
+                                                    mat_ids, time)
+                            body = M.make_march_body(static, tables,
+                                                     accel_fn, h)
+                            out = body(c)
+                            if not gate:
+                                return out
+                            pad = (base + i) >= steps
+                            return jax.tree.map(
+                                lambda a, o: jnp.where(pad, a, o), c, out)
 
-            jax.lax.fori_loop(0, cB, store_step, cks[b])
+                        jax.lax.fori_loop(0, cB, store_step, cks[b])
 
-            # rolled per-step transpose (traced once)
-            def rev(j, acc, base=base, gate=gate):
-                dfl, d_tbl, d_time, d_h = acc
-                i = cB - 1 - j
-                leaves_i = [r[pl.ds(i, 1)][0] for r in st_refs]
-                carry_i = jax.tree.unflatten(ck_treedef, leaves_i)
-                fl_i, il_i, meta_i = _split_carry(carry_i)
+                        def rev(j, acc, base=base, gate=gate):
+                            dfl, d_tbl, d_time, d_h = acc
+                            i = cB - 1 - j
+                            leaves_i = [r[pl.ds(i, 1)][0] for r in st_refs]
+                            carry_i = jax.tree.unflatten(ck_treedef,
+                                                         leaves_i)
+                            fl_i, il_i, meta_i = _split_carry(carry_i)
 
-                def stepf(fl, tbl, tm, hh):
-                    accel_fn = T.make_accel(static, tbl, mat_ids, tm)
-                    body = M.make_march_body(static, tbl, accel_fn, hh)
-                    out = body(_merge_carry(fl, il_i, meta_i))
-                    if gate:
-                        pad = (base + i) >= steps
-                        out = jax.tree.map(
-                            lambda a, o: jnp.where(pad, a, o),
-                            _merge_carry(fl, il_i, meta_i), out)
-                    return _split_carry(out)[0]
+                            def stepf(fl, tbl, tm, hh):
+                                accel_fn = T.make_accel(static, tbl,
+                                                        mat_ids, tm)
+                                body = M.make_march_body(static, tbl,
+                                                         accel_fn, hh)
+                                out = body(_merge_carry(fl, il_i, meta_i))
+                                if gate:
+                                    pad = (base + i) >= steps
+                                    out = jax.tree.map(
+                                        lambda a, o: jnp.where(pad, a, o),
+                                        _merge_carry(fl, il_i, meta_i),
+                                        out)
+                                return _split_carry(out)[0]
 
-                _, vjp = jax.vjp(stepf, fl_i, tables, time, h)
-                dfl, dt_i, dtm_i, dh_i = vjp(dfl)
-                return (dfl, _tree_add(d_tbl, dt_i), d_time + dtm_i,
-                        d_h + dh_i)
+                            _, vjp = jax.vjp(stepf, fl_i, tables, time, h)
+                            dfl, dt_i, dtm_i, dh_i = vjp(dfl)
+                            return (dfl, _tree_add(d_tbl, dt_i),
+                                    d_time + dtm_i, d_h + dh_i)
 
-            dfl, d_tbl, d_time, d_h = jax.lax.fori_loop(
-                0, cB, rev, (dfl, d_tbl, d_time, d_h))
+                        return jax.lax.fori_loop(
+                            0, cB, rev, (dfl, d_tbl_s, d_time, d_h))
+
+                    dfl, d_tbl_s, d_time, d_h = jax.lax.cond(
+                        alive_b, run_chunk_bwd, lambda acc: acc,
+                        (dfl, d_tbl_s, d_time, d_h))
+                return dfl, d_tbl_s, d_time, d_h, d_org_fin
+
+            def dead_sweep(cots):
+                fl0, _, _ = _split_carry(cks[0])
+                zvec = lambda: Vec(*(jnp.zeros_like(org.x)
+                                     for _ in range(4)))
+                return (jax.tree.map(jnp.zeros_like, fl0),
+                        _tree_zeros(tables), jnp.zeros((), jnp.float32),
+                        jnp.zeros_like(h), zvec())
+
+            return jax.lax.cond(jnp.any(active_f > 0.5), live_sweep,
+                                dead_sweep, (d_p, d_dvec, d_n, d_u, d_v))
+
+        dfl, d_tbl, d_time, d_h, d_org_fin = pl.run_scoped(
+            sweep, *[pltpu.VMEM((cB,) + l.shape, l.dtype)
+                     for l in ck_leaves])
 
         # ---- 3) map carry0 cotangents back to the march inputs ----
         # carry0 = (x=org, v=d0, done, sx0=org, sx1=org, sv=d0, sides,
@@ -209,19 +307,9 @@ def make_march_ckpt(static, cB, st_refs):
     march.defvjp(march_fwd, march_bwd)
 
     def impl(st, tbl, tm, mids, org, d, h, wm):
-        def live(args):
-            tbl, tm, mat_f, org, d, h, wm_f = args
-            return march(tbl, tm, mat_f, org, d, h, wm_f)
-
-        def dead(args):
-            tbl, tm, mat_f, org, d, h, wm_f = args
-            zf = jnp.zeros_like(org.x)
-            return (zf, org, d, zf, Vec(zf, zf, zf, zf), zf, zf)
-
-        hit_f, p, dvec, ent_f, n, u, v = jax.lax.cond(
-            jnp.any(wm), live, dead,
-            (tbl, tm, mids.astype(jnp.float32), org, d, h,
-             wm.astype(jnp.float32)))
+        hit_f, p, dvec, ent_f, n, u, v = march(
+            tbl, tm, mids.astype(jnp.float32), org, d, h,
+            wm.astype(jnp.float32))
         return hit_f > 0.5, p, dvec, ent_f.astype(jnp.int32), n, u, v
 
     return impl
@@ -239,17 +327,6 @@ def _march_impl_fast(st, tbl, tm, mids, org, d, h, wm):
 # ---------------------------------------------------------------------------
 # Level A: the kernel
 # ---------------------------------------------------------------------------
-
-def _march_state_shapes(static, TH, TW):
-    """ShapeDtypeStructs of the march carry leaves (flatten order)."""
-    f = lambda: jax.ShapeDtypeStruct((TH, TW), jnp.float32)
-    i = lambda: jax.ShapeDtypeStruct((TH, TW), jnp.int32)
-    vec = lambda: Vec(f(), f(), f(), f())
-    E = len(static.entities)
-    carry = (vec(), vec(), i(), vec(), vec(), vec(),
-             tuple(i() for _ in range(E)), tuple(i() for _ in range(E)), f())
-    return jax.tree.leaves(carry)
-
 
 def _carry5_shapes(static, TH, TW):
     """ShapeDtypeStructs of the (sp, ar, ag, ab, slots) bounce carry."""
@@ -302,40 +379,28 @@ def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
 
     if static.max_depth < 2 or trips < 1:
         # no deferred branches: the peel IS the whole trace
-        def scoped_shallow(*march_refs):
-            march_diff = (make_march_ckpt(static, cB, march_refs)
-                          if static.has_warp else None)
+        march_diff = (make_march_ckpt(static, cB)
+                      if static.has_warp else None)
 
-            def peel_rgb(cr, *vs):
-                tbl = _unpack_tables(vs)
-                org, d = rays(cr)
-                ar, ag, ab, _, _ = T.bounce_init(static, tbl, org, d, True,
-                                                 True, cr[0, 17],
-                                                 march_impl=march_diff)
-                return (ar, ag, ab)
+        def peel_rgb(cr, *vs):
+            tbl = _unpack_tables(vs)
+            org, d = rays(cr)
+            ar, ag, ab, _, _ = T.bounce_init(static, tbl, org, d, True,
+                                             True, cr[0, 17],
+                                             march_impl=march_diff)
+            return (ar, ag, ab)
 
-            _, vjp = jax.vjp(peel_rgb, cam_row, *views)
-            douts = vjp((g_tile[0], g_tile[1], g_tile[2]))
-            write_grads(douts[0], douts[1:])
-
-        march_shapes = (_march_state_shapes(static, TH, TW)
-                        if static.has_warp else [])
-        pl.run_scoped(scoped_shallow,
-                      *[pltpu.VMEM((cB,) + s.shape, s.dtype)
-                        for s in march_shapes])
+        _, vjp = jax.vjp(peel_rgb, cam_row, *views)
+        douts = vjp((g_tile[0], g_tile[1], g_tile[2]))
+        write_grads(douts[0], douts[1:])
         return
 
     K = _cdiv(trips, cA)
     ck_shapes, treedef5 = _carry5_shapes(static, TH, TW)
     is_f = tuple(jnp.issubdtype(s.dtype, jnp.floating) for s in ck_shapes)
-    n_dfl = sum(is_f)
-    march_shapes = (_march_state_shapes(static, TH, TW)
-                    if static.has_warp else [])
 
-    def scoped(*scratch):
-        ck_refs = scratch[:len(ck_shapes)]
-        march_refs = scratch[len(ck_shapes):]
-        march_diff = (make_march_ckpt(static, cB, march_refs)
+    def scoped(*ck_refs):
+        march_diff = (make_march_ckpt(static, cB)
                       if static.has_warp else None)
         march_fast = _march_impl_fast if static.has_warp else None
         time = cam_row[0, 17]
@@ -431,8 +496,7 @@ def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
 
     pl.run_scoped(
         scoped,
-        *[pltpu.VMEM((K,) + s.shape, s.dtype) for s in ck_shapes],
-        *[pltpu.VMEM((cB,) + s.shape, s.dtype) for s in march_shapes])
+        *[pltpu.VMEM((K,) + s.shape, s.dtype) for s in ck_shapes])
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 6, 8, 10, 11, 12))

@@ -120,12 +120,19 @@ def refract(d: Vec, n: Vec, eta):
 
 
 def matvec(m, v: Vec) -> Vec:
-    """Apply a static-indexed 4x4 matrix (jnp array [4,4]) to a Vec."""
+    """Apply a static-indexed 4x4 matrix to a Vec.
+
+    Accepts the matrix as [4, 4] (lax path) or as a flat [16] row (Pallas
+    path: the kernels keep portal matrices flat because Mosaic cannot
+    lower the 3D->2D reshape the [P,4,4] view's TRANSPOSE would need)."""
+    def get(i, j):
+        return m[4 * i + j] if m.ndim == 1 else m[i, j]
+
     return Vec(
-        m[0, 0] * v.x + m[0, 1] * v.y + m[0, 2] * v.z + m[0, 3] * v.w,
-        m[1, 0] * v.x + m[1, 1] * v.y + m[1, 2] * v.z + m[1, 3] * v.w,
-        m[2, 0] * v.x + m[2, 1] * v.y + m[2, 2] * v.z + m[2, 3] * v.w,
-        m[3, 0] * v.x + m[3, 1] * v.y + m[3, 2] * v.z + m[3, 3] * v.w,
+        get(0, 0) * v.x + get(0, 1) * v.y + get(0, 2) * v.z + get(0, 3) * v.w,
+        get(1, 0) * v.x + get(1, 1) * v.y + get(1, 2) * v.z + get(1, 3) * v.w,
+        get(2, 0) * v.x + get(2, 1) * v.y + get(2, 2) * v.z + get(2, 3) * v.w,
+        get(3, 0) * v.x + get(3, 1) * v.y + get(3, 2) * v.z + get(3, 3) * v.w,
     )
 
 

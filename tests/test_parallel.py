@@ -181,8 +181,8 @@ def test_animated_scene_sharded_train(mesh):
     import jax.numpy as jnp
     import optax
     from euclider_tpu.scene.ir import (Camera, Entity, ExprSpace, HalfSpace,
-                                       RenderSettings, Scene, Sphere,
-                                       UniformSurface)
+                                       RenderSettings, Scene, SmoothSurface,
+                                       Sphere, UniformSurface)
 
     wobble = ExprSpace(ax="p0 * sin(3.0 * t + z)", ay="0", az="0", aw="0",
                        step=0.15, params=(0.8,))
@@ -193,18 +193,22 @@ def test_animated_scene_sharded_train(mesh):
             Entity(Sphere((0.0, 0.0, -4.0), 1.4), material=wobble,
                    surface=UniformSurface((0.0, 0.0, 0.0, 0.0)),
                    name="wobble_region"),
+            # smooth (C^inf in the hit position) surfaces: a uniform color
+            # would make d(loss)/d(time) identically zero at interior pixels
             Entity(Sphere((0.0, 0.0, -7.0), 1.0),
-                   surface=UniformSurface((0.9, 0.4, 0.2, 1.0)),
+                   surface=SmoothSurface(uv_scale=2.0),
                    name="backdrop"),
             Entity(HalfSpace((0.0, -1.0, 0.0), 1.2),
-                   surface=UniformSurface((0.3, 0.5, 0.8, 1.0)),
+                   surface=SmoothSurface(uv_scale=0.5),
                    name="floor"),
         ),
         camera=Camera(position=(0.0, 0.3, 1.0, 0.0),
                       forward=(0.0, -0.1, -0.99, 0.0),
                       up=(0.0, 1.0, 0.0, 0.0), right=(1.0, 0.0, 0.0, 0.0),
                       fov_deg=60.0),
-        settings=RenderSettings(max_depth=2, march_steps=32,
+        # depth 3: the ray must enter the wobble region (1), march through
+        # it (2), and continue to the backdrop (3) for `t` to move a color
+        settings=RenderSettings(max_depth=3, march_steps=32,
                                 background=(0.05, 0.05, 0.08)),
     )
     static, tables = et.compile_scene(sc)

