@@ -722,18 +722,23 @@ def _bwd(static, H, W, backward, tile, interpret, rows, res, g):
     if backward == "auto":
         # shallow straight-space trees: the fully-unrolled per-tile kernel
         # with the largest tile that compiles (fastest by measurement).
-        # Everything else — marchy scenes AND deep trees — goes to the
-        # in-kernel checkpointed VJP (ops/pallas_vjp.py): rolled chunk
-        # loops with VMEM checkpoint stacks, one kernel, no HBM carries.
-        if static.has_warp or static.max_nodes > UNROLL_BWD_MAX_NODES:
+        # Everything else — marchy scenes, deep trees, AND textured scenes
+        # (config3's unrolled tape overflows VMEM: 38M at depth 3 with the
+        # matmul-sampler residuals) — goes to the in-kernel checkpointed
+        # VJP (ops/pallas_vjp.py): rolled chunk loops with VMEM checkpoint
+        # stacks, one kernel, no HBM carries.
+        has_tex = any(t >= 0 for t in static.surf_texture)
+        if (static.has_warp or has_tex
+                or static.max_nodes > UNROLL_BWD_MAX_NODES):
             backward = "ckpt"
         else:
             backward = "pallas"
     if backward == "ckpt":
         from .pallas_vjp import vjp_pallas_ckpt
 
+        # tile/chunk plan: the measured v5e defaults (pallas_vjp.default_plan)
         gt, gc, gtm = vjp_pallas_ckpt(static, tables, cam, H, W, g,
-                                      BWD_TILE, time, interpret, y0, rows)
+                                      None, time, interpret, y0, rows)
     elif backward == "pallas":
         if static.max_nodes > UNROLL_BWD_MAX_NODES:
             # deep tree: segmented hand-checkpointed kernels (kept as the

@@ -49,12 +49,41 @@ from .pallas_kernel import (_cdiv, _grads_from_rows, _merge_carry,
                             _unpack_tables)
 from .vec import Vec
 
-# chunk-size defaults (v5e, (8,128) tiles): cA bounce trips per Level-A
-# chunk, cB march steps per Level-B chunk.  VMEM cost ~
-#   K * carry_leaves * tile  +  (march_steps/cB + cB) * march_leaves * tile.
-DEFAULT_TRIP_CHUNK_STRAIGHT = 4
-DEFAULT_TRIP_CHUNK_MARCH = 1
-DEFAULT_MARCH_CHUNK = 20
+# chunk-size defaults from the v5e sweep (tools/ckpt_sweep.py, 720p).
+# VMEM cost ~ K * carry_leaves * tile
+#           + (march_steps/cB + cB) * march_leaves * tile:
+# bigger tiles win until the checkpoint stacks overflow VMEM — measured
+# crash points: (8,256) with expr materials, cB<=12 at (8,256), cA>=2
+# marchy at (8,256), (16,256) anywhere.
+DEFAULT_TRIP_CHUNK_STRAIGHT = 8   # config2 62 trips: cA=8 -> 58.5 Mrays/s
+DEFAULT_MARCH_CHUNK = 16
+MAX_LEVEL_A_CHUNKS = 16           # cap K so ckpt stacks stay in VMEM
+
+
+def default_plan(static, tile, trip_chunk, march_chunk):
+    """(tile, trip_chunk, march_chunk) defaults for vjp_pallas_ckpt."""
+    trips = max(1, static.max_nodes - 1)
+    has_expr = any(k == "expr" for k in static.mat_kinds)
+    if tile is None:
+        if static.has_warp and not has_expr and static.max_depth <= 4:
+            tile = (8, 256)    # config5 25.8 -> 34.5, config7 -> 43.4
+        else:
+            tile = (8, 128)    # expr march residuals / deep stacks: VMEM
+    has_tex = any(t >= 0 for t in static.surf_texture)
+    if trip_chunk is None:
+        if static.has_warp:
+            # one trip per chunk keeps only one march-custom residual set
+            # live, but cap the checkpoint count for very deep trees
+            trip_chunk = max(1, -(-trips // MAX_LEVEL_A_CHUNKS))
+        elif has_tex:
+            # texture-sampler residuals are fat: config3 at 720p needs one
+            # trip per chunk (cA=2 already overflows VMEM) -> 57.3 Mrays/s
+            trip_chunk = 1
+        else:
+            trip_chunk = DEFAULT_TRIP_CHUNK_STRAIGHT
+    if march_chunk is None:
+        march_chunk = 20 if has_expr else DEFAULT_MARCH_CHUNK
+    return tile, trip_chunk, march_chunk
 
 
 def _tree_add(a, b):
@@ -340,10 +369,22 @@ def _carry5_shapes(static, TH, TW):
     return leaves, treedef
 
 
-def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
+def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, fused, R,
+                 cam_ref, *refs):
+    """``fused=False``: refs = (*views, g, d_cam_out, *d_view_outs) — the
+    plain backward, cotangent ``g`` supplied by the caller.
+
+    ``fused=True``: refs = (*views, target, loss_out, d_cam_out,
+    *d_view_outs) — the ENTIRE training step in one kernel: the forward
+    sweep's accumulated colors become the rendered tile, the MSE loss
+    contribution and its cotangent (2·(img−target)·norm on valid pixels)
+    are computed in-register, and the reverse sweep runs immediately — no
+    separate render kernel, no HBM round-trip for the image or cotangent.
+    ``norm`` (the global 1/(H·W·3) of the loss mean) rides cam_row[0,19];
+    ``R`` is the valid row count of this launch's slab."""
     view_refs = refs[:n_views]
-    g_ref = refs[n_views]
-    out_refs = refs[n_views + 1:]     # d_cam_row then d_views
+    g_ref = refs[n_views]             # cotangent (plain) or target (fused)
+    out_refs = refs[n_views + 1:]     # [loss,] d_cam_row, d_views
 
     cam_row = cam_ref[:]
     views = tuple(r[:] for r in view_refs)
@@ -367,8 +408,11 @@ def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
               ).astype(jnp.float32)
         return T.camera_rays(cam, xi, yi, W, H)
 
-    def write_grads(dcr, dvs):
-        for o, gr in zip(out_refs, [dcr] + list(dvs)):
+    def write_grads(dcr, dvs, loss=None):
+        outs = [dcr] + list(dvs)
+        if fused:
+            outs = [loss.reshape(1, 1)] + outs
+        for o, gr in zip(out_refs, outs):
             @pl.when(first)
             def _(o=o, gr=gr):
                 o[...] = gr
@@ -376,6 +420,23 @@ def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
             @pl.when(jnp.logical_not(first))
             def _(o=o, gr=gr):
                 o[...] += gr
+
+    def fused_seed(r, g, b):
+        """(loss contribution, cotangent channels) for this tile's render.
+
+        Padded lanes (rows >= R of the slab, cols >= W) are masked out of
+        both the loss and the cotangent."""
+        norm = cam_row[0, 19]
+        ly = iy0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+        lx = ix0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+        mask = ((ly < R) & (lx < W)).astype(jnp.float32)
+        dr = (r - g_tile[0]) * mask
+        dg = (g - g_tile[1]) * mask
+        db = (b - g_tile[2]) * mask
+        loss = (jnp.sum(dr * dr) + jnp.sum(dg * dg)
+                + jnp.sum(db * db)) * norm
+        two_n = 2.0 * norm
+        return loss, (dr * two_n, dg * two_n, db * two_n)
 
     if static.max_depth < 2 or trips < 1:
         # no deferred branches: the peel IS the whole trace
@@ -390,9 +451,13 @@ def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
                                              march_impl=march_diff)
             return (ar, ag, ab)
 
-        _, vjp = jax.vjp(peel_rgb, cam_row, *views)
-        douts = vjp((g_tile[0], g_tile[1], g_tile[2]))
-        write_grads(douts[0], douts[1:])
+        (r, g, b), vjp = jax.vjp(peel_rgb, cam_row, *views)
+        if fused:
+            loss, seed = fused_seed(r, g, b)
+        else:
+            loss, seed = None, (g_tile[0], g_tile[1], g_tile[2])
+        douts = vjp(seed)
+        write_grads(douts[0], douts[1:], loss)
         return
 
     K = _cdiv(trips, cA)
@@ -429,12 +494,18 @@ def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
 
             return jax.lax.cond(jnp.any(c5[0] > 0), run, lambda c: c, c5)
 
-        jax.lax.fori_loop(0, K, fwd_chunk, carry0)
+        c5_T = jax.lax.fori_loop(0, K, fwd_chunk, carry0)
+
+        # ---- loss + cotangent seed ----
+        if fused:
+            loss, seed = fused_seed(c5_T[1], c5_T[2], c5_T[3])
+        else:
+            loss, seed = None, (g_tile[0], g_tile[1], g_tile[2])
 
         # ---- backward sweep: rolled reverse chunk loop ----
         f_leaves = [s for s, f in zip(ck_shapes, is_f) if f]
         dfl0 = tuple(
-            [g_tile[0], g_tile[1], g_tile[2]]
+            list(seed)
             + [jnp.zeros(s.shape, s.dtype) for s in f_leaves[3:]])
         dcr0 = jnp.zeros((1, 24), jnp.float32)
         dvs0 = tuple(jnp.zeros(v.shape, jnp.float32) for v in views)
@@ -492,7 +563,7 @@ def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
         douts = vjp(tuple(dfl))
         dcr = dcr + douts[0]
         dvs = tuple(a + b for a, b in zip(dvs, douts[1:]))
-        write_grads(dcr, dvs)
+        write_grads(dcr, dvs, loss)
 
     pl.run_scoped(
         scoped,
@@ -500,24 +571,25 @@ def _ckpt_kernel(static, H, W, TH, TW, n_views, cA, cB, cam_ref, *refs):
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 6, 8, 10, 11, 12))
-def vjp_pallas_ckpt(static, tables, cam, H: int, W: int, g, tile=(8, 128),
+def vjp_pallas_ckpt(static, tables, cam, H: int, W: int, g, tile=None,
                     time=0.0, interpret: bool = False, y0=0.0,
                     rows: int | None = None, trip_chunk: int | None = None,
-                    march_chunk: int = DEFAULT_MARCH_CHUNK):
+                    march_chunk: int | None = None):
     """Backward of a Pallas render through the in-kernel checkpointed VJP.
 
     Same contract as pallas_kernel.vjp_pallas: returns (d_tables, d_cam,
     d_time) with dtypes matching the primals; ``y0``/``rows`` restrict to a
-    row slab of the global frame (the sharded training path)."""
+    row slab of the global frame (the sharded training path).  ``tile`` /
+    ``trip_chunk`` / ``march_chunk`` default to the measured v5e plan
+    (default_plan); pass explicit values to override."""
+    tile, trip_chunk, march_chunk = default_plan(static, tile, trip_chunk,
+                                                 march_chunk)
     TH, TW = tile
     R = H if rows is None else rows
     Rp, Wp = _cdiv(R, TH) * TH, _cdiv(W, TW) * TW
     views = _table_views(tables)
     n_views = len(views)
     grid = (Rp // TH, Wp // TW)
-    if trip_chunk is None:
-        trip_chunk = (DEFAULT_TRIP_CHUNK_MARCH if static.has_warp
-                      else DEFAULT_TRIP_CHUNK_STRAIGHT)
 
     g = jnp.moveaxis(jnp.asarray(g, jnp.float32), -1, 0)        # [3, R, W]
     g = jnp.pad(g, ((0, 0), (0, Rp - R), (0, Wp - W)))          # [3, Rp, Wp]
@@ -541,7 +613,7 @@ def vjp_pallas_ckpt(static, tables, cam, H: int, W: int, g, tile=(8, 128),
 
     outs = pl.pallas_call(
         partial(_ckpt_kernel, static, H, W, TH, TW, n_views, trip_chunk,
-                march_chunk),
+                march_chunk, False, R),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -550,3 +622,71 @@ def vjp_pallas_ckpt(static, tables, cam, H: int, W: int, g, tile=(8, 128),
     )(cam_row, *views, g)
 
     return _grads_from_rows(outs[0], outs[1:], tables, cam)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 7, 9, 11, 12, 13))
+def train_step_pallas(static, tables, cam, target, H: int, W: int,
+                      time=0.0, tile=None, y0=0.0,
+                      rows: int | None = None, norm=None,
+                      interpret: bool = False,
+                      trip_chunk: int | None = None,
+                      march_chunk: int | None = None):
+    """The WHOLE inverse-rendering gradient step in ONE Pallas kernel:
+    render, MSE loss against ``target``, and gradients of
+    ``norm * sum((img - target)^2)`` w.r.t. every table, the camera and
+    time — the forward sweep's colors never leave VMEM and no separate
+    render kernel runs (fused=True path of _ckpt_kernel).
+
+    ``norm`` defaults to 1/(H*W*3), i.e. the loss is the mean squared
+    error over the full frame; the sharded trainer passes the global norm
+    so per-shard losses/grads psum to the global quantities.  Returns
+    (loss, d_tables, d_cam, d_time)."""
+    tile, trip_chunk, march_chunk = default_plan(static, tile, trip_chunk,
+                                                 march_chunk)
+    TH, TW = tile
+    R = H if rows is None else rows
+    Rp, Wp = _cdiv(R, TH) * TH, _cdiv(W, TW) * TW
+    views = _table_views(tables)
+    n_views = len(views)
+    grid = (Rp // TH, Wp // TW)
+
+    if norm is None:
+        norm = 1.0 / (H * W * 3)
+    tgt = jnp.moveaxis(jnp.asarray(target, jnp.float32), -1, 0)
+    tgt = jnp.pad(tgt, ((0, 0), (0, Rp - R), (0, Wp - W)))
+    cam_row = _pack_camera(cam, time, y0)
+    cam_row = cam_row.at[0, 19].set(jnp.asarray(norm, jnp.float32))
+
+    in_specs = [pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    for v in views:
+        in_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((3, TH, TW), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 24), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                  jax.ShapeDtypeStruct((1, 24), jnp.float32)]
+    for v in views:
+        out_specs.append(pl.BlockSpec(v.shape, lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(v.shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        partial(_ckpt_kernel, static, H, W, TH, TW, n_views, trip_chunk,
+                march_chunk, True, R),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(cam_row, *views, tgt)
+
+    loss = outs[0][0, 0]
+    d_tables, d_cam, d_time = _grads_from_rows(outs[1], outs[2:], tables,
+                                               cam)
+    return loss, d_tables, d_cam, d_time

@@ -92,6 +92,42 @@ def make_loss_fn(static, H: int, W: int, mesh: Mesh,
     return loss
 
 
+def make_fused_value_and_grad(static, H: int, W: int, mesh: Mesh,
+                              tile=None, interpret: bool = False):
+    """Sharded MSE loss AND gradients through the FUSED training kernel
+    (ops/pallas_vjp.train_step_pallas): each chip runs ONE Pallas kernel
+    that renders its slab, computes the loss contribution and cotangent
+    in-register, and transposes — the per-shard partial losses and grads
+    are then psum-reduced over the mesh.  Numerically the same step as
+    jax.value_and_grad(make_loss_fn(...)) for the MSE loss, minus one
+    whole render kernel per step."""
+    from ..ops.pallas_vjp import train_step_pallas
+
+    n = mesh.devices.size
+    if H % n:
+        raise ValueError(f"H={H} not divisible by mesh size {n}")
+    Hl = H // n
+
+    def local(tables, cam, time, target_slab):
+        row0 = jax.lax.axis_index("rows") * Hl
+        loss, gt, gc, gtm = train_step_pallas(
+            static, tables, cam, target_slab, H, W, time, tile,
+            row0.astype(jnp.float32), Hl, 1.0 / (H * W * 3), interpret)
+        return jax.tree.map(lambda x: jax.lax.psum(x, "rows"),
+                            (loss, gt, gc, gtm))
+
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(P(), P(), P(), P("rows")),
+                        out_specs=(P(), P(), P(), P()), check_vma=False)
+
+    def value_and_grad(params: InverseParams, target, time=0.0):
+        loss, gt, gc, _ = sharded(params.tables, params.cam,
+                                  jnp.asarray(time, jnp.float32), target)
+        return loss, InverseParams(gt, gc)
+
+    return value_and_grad
+
+
 def make_train_step(static, H: int, W: int, mesh: Mesh, optimizer,
                     params: InverseParams, backend: str = "lax",
                     tile=(16, 128), interpret: bool = False):
@@ -100,14 +136,22 @@ def make_train_step(static, H: int, W: int, mesh: Mesh, optimizer,
     step(params, opt_state, target, time=0.0) -> (params, opt_state, loss).
     Gradients of the replicated params are psum-reduced over the mesh inside
     the backward pass.  backend='pallas' runs forward AND backward through
-    the Pallas kernels on each chip (see make_loss_fn).
+    the Pallas kernels on each chip (see make_loss_fn);
+    backend='pallas-fused' runs the whole step — render, loss, cotangent,
+    transpose — as ONE kernel per chip (make_fused_value_and_grad).
     """
-    loss_fn = make_loss_fn(static, H, W, mesh, backend, tile, interpret)
+    if backend == "pallas-fused":
+        vg = make_fused_value_and_grad(
+            static, H, W, mesh, None if tile == (16, 128) else tile,
+            interpret)
+    else:
+        loss_fn = make_loss_fn(static, H, W, mesh, backend, tile, interpret)
+        vg = jax.value_and_grad(loss_fn)
     opt_state = optimizer.init(params)
 
     @jax.jit
     def step(params, opt_state, target, time=0.0):
-        l, g = jax.value_and_grad(loss_fn)(params, target, time)
+        l, g = vg(params, target, time)
         updates, opt_state = optimizer.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, l

@@ -314,6 +314,131 @@ def test_pallas_segmented_truncated_tree():
     assert np.isclose(float(gtm_ref), float(gtm_seg), atol=1e-4)
 
 
+def test_pallas_ckpt_backward_matches_lax_vjp():
+    """The in-kernel checkpointed VJP (pallas_vjp.vjp_pallas_ckpt: rolled
+    chunk loops, VMEM checkpoint stacks, no HBM carries) must reproduce the
+    whole-frame lax jax.vjp on a straight scene, including uneven chunk
+    padding (trips=2 with trip_chunk=2 -> K=1) and tile padding."""
+    from euclider_tpu.ops.pallas_vjp import vjp_pallas_ckpt
+
+    static, tables, cam = _depth2("grad_probe")
+    t32 = _tab_to_f32(tables)
+    g = np.random.default_rng(7).normal(size=(H, W, 3)).astype(np.float32)
+    tm = jnp.float32(0.0)
+
+    _, vjp = jax.vjp(
+        lambda t, c, tt: et.render_image(static, t, c, H, W, True, tt),
+        t32, cam, tm)
+    gt_ref, gc_ref, gtm_ref = vjp(jnp.asarray(g))
+    gt_ck, gc_ck, gtm_ck = vjp_pallas_ckpt(static, t32, cam, H, W, g,
+                                           (8, 128), tm, True,
+                                           trip_chunk=2)
+    _assert_grads_close((gt_ref, gc_ref), (gt_ck, gc_ck))
+    assert np.isclose(float(gtm_ref), float(gtm_ck), atol=1e-4)
+
+
+def test_pallas_ckpt_backward_march():
+    """Marchy scenes through the checkpointed VJP: the march custom-VJP
+    (chunked forward with SSA residuals, VMEM step-stack reverse sweep,
+    chunk-level early exit) must match the lax VJP — including the chunk
+    padding path (23 steps with march_chunk=5) and portal transposes.
+    This is the kernel coverage configs 5-7 route to via backward='auto'
+    (round 3's top missing item: marchy backward was not a kernel at all)."""
+    from dataclasses import replace
+
+    from euclider_tpu.ops.pallas_vjp import vjp_pallas_ckpt
+
+    sc = et.get_scene("config5_warp_portal")
+    sc = replace(sc, settings=replace(sc.settings, max_depth=2,
+                                      march_steps=23))
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    t32 = _tab_to_f32(tables)
+    g = np.random.default_rng(9).normal(size=(H, W, 3)).astype(np.float32)
+    tm = jnp.float32(0.25)
+
+    _, vjp = jax.vjp(
+        lambda t, c, tt: et.render_image(static, t, c, H, W, True, tt),
+        t32, cam, tm)
+    gt_ref, gc_ref, gtm_ref = vjp(jnp.asarray(g))
+    gt_ck, gc_ck, gtm_ck = vjp_pallas_ckpt(static, t32, cam, H, W, g,
+                                           (8, 128), tm, True,
+                                           trip_chunk=1, march_chunk=5)
+    _assert_grads_close((gt_ref, gc_ref), (gt_ck, gc_ck))
+    assert np.isclose(float(gtm_ref), float(gtm_ck), atol=1e-4)
+
+
+@pytest.mark.parametrize("case", ["straight", "march"])
+def test_fused_train_step_matches_value_and_grad(case):
+    """The fused training kernel (pallas_vjp.train_step_pallas: render +
+    MSE loss + cotangent + transpose in ONE kernel, no separate render
+    launch) must reproduce jax.value_and_grad of the lax MSE loss —
+    including the padded-lane masking (H, W not tile multiples)."""
+    from dataclasses import replace
+
+    from euclider_tpu.ops.pallas_vjp import train_step_pallas
+
+    if case == "straight":
+        sc = et.get_scene("grad_probe")
+        sc = replace(sc, settings=replace(sc.settings, max_depth=2))
+        kw = dict(trip_chunk=2)
+    else:
+        sc = et.get_scene("config5_warp_portal")
+        sc = replace(sc, settings=replace(sc.settings, max_depth=2,
+                                          march_steps=23))
+        kw = dict(trip_chunk=1, march_chunk=5)
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    t32 = _tab_to_f32(tables)
+    tgt = np.random.default_rng(11).uniform(size=(H, W, 3)).astype(
+        np.float32)
+    tm = jnp.float32(0.25)
+
+    def loss_lax(t, c, tt):
+        img = et.render_image(static, t, c, H, W, True, tt)
+        return jnp.mean((img - tgt) ** 2)
+
+    l_ref, (gt_ref, gc_ref, gtm_ref) = jax.value_and_grad(
+        loss_lax, argnums=(0, 1, 2))(t32, cam, tm)
+    l, gt, gc, gtm = train_step_pallas(static, t32, cam, tgt, H, W, tm,
+                                       (8, 128), 0.0, None, None, True,
+                                       **kw)
+    assert np.isclose(float(l_ref), float(l), rtol=1e-5)
+    _assert_grads_close((gt_ref, gc_ref), (gt, gc))
+    assert np.isclose(float(gtm_ref), float(gtm), atol=1e-4)
+
+
+def test_pallas_diff_render_auto_routes_march():
+    """backward='auto' sends marchy scenes to the in-kernel checkpointed
+    VJP through the custom_vjp wrapper (jax.grad end-to-end).  Uses the
+    smooth-wall expr scene (test_expr_space._tiny_expr_scene): rays must
+    pass THROUGH the region onto a smooth surface for expr-param
+    gradients to be nonzero at interior pixels — invisible boundaries in
+    front of uniform surfaces have no smooth color dependence."""
+    from test_expr_space import _tiny_expr_scene
+
+    from euclider_tpu.ops.pallas_kernel import render_image_pallas_diff
+
+    sc = _tiny_expr_scene(march=15)
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    t32 = _tab_to_f32(tables)
+
+    def loss_pal(t):
+        img = render_image_pallas_diff(static, t, cam, H, W, 0.3, "auto",
+                                       (8, 128), True)
+        return jnp.mean(img * img)
+
+    def loss_lax(t):
+        img = et.render_image(static, t, cam, H, W, True, 0.3)
+        return jnp.mean(img * img)
+
+    gp = jax.grad(loss_pal)(t32)
+    gl = jax.grad(loss_lax)(t32)
+    assert np.abs(np.asarray(gp.mat_expr_params)).sum() > 0
+    _assert_grads_close(gl, gp)
+
+
 def test_pallas_diff_render_textured():
     """End-to-end custom_vjp through render_image_pallas_diff on the CSG +
     texture scene: exercises the matmul texture sampler's transpose and the

@@ -140,6 +140,41 @@ def test_sharded_pallas_training_matches_lax(mesh):
         assert np.abs(a - b).max() <= tol, np.abs(a - b).max()
 
 
+def test_sharded_fused_train_matches_lax(mesh):
+    """The fused per-chip training kernel composes with the mesh: each
+    shard's single-kernel loss/grads psum to the global loss and the same
+    replicated grads as the sharded lax value_and_grad."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+    from euclider_tpu.train.inverse import make_fused_value_and_grad
+
+    sc = et.get_scene("grad_probe")
+    sc = replace(sc, settings=replace(sc.settings, max_depth=2))
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    tables = _f32(tables)
+    H, W = 16, 32
+
+    target = np.random.default_rng(2).uniform(size=(H, W, 3)).astype(
+        np.float32)
+    target_sharded = shard_target(target, mesh)
+    params = InverseParams(tables, cam)
+
+    loss_lax = make_loss_fn(static, H, W, mesh)
+    ll, gl = jax.value_and_grad(
+        lambda p: loss_lax(p, target_sharded))(params)
+
+    vg = make_fused_value_and_grad(static, H, W, mesh, (8, 128), True)
+    lf, gf = vg(params, target_sharded)
+
+    assert np.isclose(float(ll), float(lf), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gl), jax.tree.leaves(gf)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        tol = 1e-3 * max(np.abs(a).max(), 1.0) if a.size else 0.0
+        assert np.abs(a - b).max() <= tol
+
+
 def test_sharded_pallas_diff_render(mesh):
     """render_image_sharded(differentiable=True, backend='pallas') must no
     longer raise (VERDICT r3 item 5): it routes to render_image_pallas_diff

@@ -93,10 +93,39 @@ def time_grad(name: str, n=10, h=360, w=640, backend="lax") -> float:
     sc = et.get_scene(name)
     static, tables = et.compile_scene(sc)
     cam = et.compile_camera(sc.camera)
+    gate_scene(name, static, tables, cam)   # no number without the oracle
     t32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tables)
     base = float(cam.tan_half_fov)
 
     from euclider_tpu.ops.trace import render_image
+
+    if backend == "pallas-fused":
+        from euclider_tpu.ops.pallas_vjp import train_step_pallas
+
+        tgt = jnp.zeros((h, w, 3), jnp.float32)
+
+        @jax.jit
+        def loop():
+            def body(i, acc):
+                tf = jnp.float32(base) * (1.0 + 1e-6 * i.astype(jnp.float32))
+                l, gt, gc, gtm = train_step_pallas(
+                    static, t32, cam._replace(tan_half_fov=tf), tgt, h, w)
+                return (acc + l + jnp.sum(gt.surf_color)
+                        + jnp.sum(gc.position))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        t0 = time.time()
+        v = float(loop())
+        t_first = time.time() - t0
+        t0 = time.perf_counter()
+        v = float(loop())
+        dt = (time.perf_counter() - t0) / n
+        assert np.isfinite(v), v
+        mrays = h * w / dt / 1e6
+        print(f"{name:28s} fwd+bwd[{backend}] {h}x{w}  {dt*1e3:7.2f} "
+              f"ms/step  {mrays:8.1f} Mrays/s   (first call {t_first:.1f}s)",
+              file=sys.stderr, flush=True)
+        return mrays
 
     if backend == "lax":
         def loss(t, c):
@@ -145,7 +174,8 @@ def main():
                     help="time fwd+bwd gradient steps instead of renders")
     ap.add_argument("--grad-backend", default="lax",
                     choices=["lax", "pallas-kernel", "pallas-ckpt",
-                             "pallas-auto", "pallas-blocked"])
+                             "pallas-auto", "pallas-fused",
+                             "pallas-blocked"])
     ap.add_argument("--size", default="720x1280")
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)

@@ -42,6 +42,10 @@ def main() -> int:
                     help="restrict to first N local devices (single-host "
                          "only; for the 1-chip baseline row)")
     ap.add_argument("--baseline-mrays-per-chip", type=float, default=None)
+    ap.add_argument("--grad", action="store_true",
+                    help="time the sharded TRAINING step (loss + psum-"
+                         "reduced grads through the Pallas kernels both "
+                         "directions) instead of the forward render")
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
@@ -91,17 +95,42 @@ def main() -> int:
         cam = D.replicate_to_global(cam, mesh)
     base = float(np.asarray(jax.device_get(cam.tan_half_fov)))
 
-    def render(c):
-        return render_image_sharded(static, tables, c, H, w, mesh, False,
-                                    args.backend, tile, args.interpret)
+    if args.grad:
+        # multi-chip TRAINING throughput: per-shard Pallas fwd+bwd via the
+        # custom_vjp (backward='auto'), grads psum-reduced over the mesh
+        # (SURVEY §2.2 gradient-reduction row; VERDICT r3 item 4)
+        from euclider_tpu.train.inverse import InverseParams, make_loss_fn
 
-    @jax.jit
-    def frame_loop():
-        def body(i, acc):
-            tf = jnp.float32(base) * (1.0 + 1e-6 * i.astype(jnp.float32))
-            im = render(cam._replace(tan_half_fov=tf))
-            return acc + im[::97, ::97].sum()
-        return jax.lax.fori_loop(0, args.frames, body, jnp.float32(0.0))
+        t32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tables)
+        loss_fn = make_loss_fn(static, H, w, mesh, args.backend, tile,
+                               args.interpret)
+        target = jnp.zeros((H, w, 3), jnp.float32)
+        if multi:
+            target = D.replicate_to_global(target, mesh)
+        vg = jax.value_and_grad(
+            lambda p: loss_fn(p, target))
+
+        @jax.jit
+        def frame_loop():
+            def body(i, acc):
+                tf = jnp.float32(base) * (1.0 + 1e-6 * i.astype(jnp.float32))
+                l, g = vg(InverseParams(t32, cam._replace(tan_half_fov=tf)))
+                return (acc + l + jnp.sum(g.tables.surf_color)
+                        + jnp.sum(g.cam.position))
+            return jax.lax.fori_loop(0, args.frames, body, jnp.float32(0.0))
+    else:
+        def render(c):
+            return render_image_sharded(static, tables, c, H, w, mesh,
+                                        False, args.backend, tile,
+                                        args.interpret)
+
+        @jax.jit
+        def frame_loop():
+            def body(i, acc):
+                tf = jnp.float32(base) * (1.0 + 1e-6 * i.astype(jnp.float32))
+                im = render(cam._replace(tan_half_fov=tf))
+                return acc + im[::97, ::97].sum()
+            return jax.lax.fori_loop(0, args.frames, body, jnp.float32(0.0))
 
     t0 = time.time()
     v = float(frame_loop())
@@ -114,6 +143,7 @@ def main() -> int:
     mrays = H * w / dt / 1e6
     rec = {
         "scene": args.scene, "resolution": f"{w}x{H}",
+        "mode": "train_step" if args.grad else "render",
         "chips": n, "hosts": pcnt,
         "ms_per_frame": round(dt * 1e3, 3),
         "mrays_per_s": round(mrays, 1),
