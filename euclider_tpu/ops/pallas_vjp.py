@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.compile import CameraParams
 from . import march as M
 from . import trace as T
-from .pallas_kernel import (_cdiv, _grads_from_rows, _merge_carry,
+from . import vec as V
+from .pallas_kernel import (SEQ_GRID, _cdiv, _grads_from_rows, _merge_carry,
                             _pack_camera, _split_carry, _table_views,
                             _unpack_tables)
 from .vec import Vec
@@ -58,6 +59,15 @@ from .vec import Vec
 DEFAULT_TRIP_CHUNK_STRAIGHT = 8   # config2 62 trips: cA=8 -> 58.5 Mrays/s
 DEFAULT_MARCH_CHUNK = 16
 MAX_LEVEL_A_CHUNKS = 16           # cap K so ckpt stacks stay in VMEM
+
+# March reverse-sweep strategy (trace-time constant): True = analytic step
+# inversion (no store pass, no VMEM step stack, step-granular early exit —
+# see make_march_ckpt); False = the round-4 store-pass sweep.  Module-level
+# so tools can A/B the two without threading a new parameter through every
+# kernel partial.  NOTE: read at trace time — after flipping it, call
+# vjp_pallas_ckpt.clear_cache() / train_step_pallas.clear_cache() or the
+# jitted wrappers will replay the previously-traced strategy.
+MARCH_REVERSIBLE = True
 
 
 def default_plan(static, tile, trip_chunk, march_chunk):
@@ -127,15 +137,40 @@ def _laundered(tree):
 # Level B: checkpointed march custom-VJP (runs inside the trip transpose)
 # ---------------------------------------------------------------------------
 
-def make_march_ckpt(static, cB):
+def make_march_ckpt(static, cB, reversible: bool | None = None):
     """Returns a ``march_impl`` for ops.trace.propagate whose backward is the
     hand-rolled checkpointed reverse sweep.
 
-    The per-step state stack (one [cB, TH, TW] VMEM buffer per march-carry
-    leaf) is allocated INSIDE the bwd with pl.run_scoped: a custom_vjp bwd
-    must not close over refs allocated outside it — the Read effects then
-    reference variables that are not inputs of the transposed jaxpr
-    ("JaxprInputEffect does not have corresponding jaxpr input")."""
+    Two reverse-sweep strategies share the same chunked forward:
+
+    ``reversible=True`` (default): the march step is analytically inverted —
+    ``x = x1 - h*v1`` and ``v`` from the unit-speed constraint (|v|=1 gives
+    ``s = h(v1·a) + sqrt((h v1·a)^2 - h^2|a|^2 + 1)``, ``v = s*v1 - h*a(x)``)
+    — so the reverse sweep reconstructs each pre-step state from its
+    successor: NO store pass (1 of the ~4 march traversals gone), NO per-step
+    VMEM stack, and the replayed step needs no geometry side-probes because
+    the step masks derive EXACTLY from the final carry (a lane walked
+    ``n = round(dist/h)`` steps; it was live at step i iff ``i < n`` and
+    crossed at ``i == n-1`` iff any ``crossed`` flag is set).  Chunk
+    checkpoints are still consumed (reconstruction restarts from each chunk's
+    end state) so f32 drift never accumulates past ``cB`` steps, and the
+    reverse fori runs a DYNAMIC ``clip(n_max - b*cB, 0, cB)`` trip count —
+    step-granular early exit where the store-pass sweep was chunk-granular.
+    Round 4 parked this as a Mosaic ``arith.cmpi`` legalization failure; the
+    lowering-safe reformulation (validated by tools/mosaic_probe.py
+    ``reversible_march_custom_vjp`` on-chip) keeps the reconstruction and
+    every integer recovery OUTSIDE ``jax.vjp`` — the inverse map only picks
+    the linearization point, no cotangent flows through it.
+
+    ``reversible=False``: the round-4 store-pass sweep — each chunk re-runs
+    forward storing per-step states in a VMEM stack, then walks the stack
+    backwards.  The per-step state stack (one [cB, TH, TW] VMEM buffer per
+    march-carry leaf) is allocated INSIDE the bwd with pl.run_scoped: a
+    custom_vjp bwd must not close over refs allocated outside it — the Read
+    effects then reference variables that are not inputs of the transposed
+    jaxpr ("JaxprInputEffect does not have corresponding jaxpr input")."""
+    if reversible is None:
+        reversible = MARCH_REVERSIBLE
     steps = static.march_steps
     nB = max(1, -(-steps // cB))
 
@@ -333,7 +368,125 @@ def make_march_ckpt(static, cB):
         return (d_tbl, d_time, jnp.zeros_like(mat_f), d_org, d_d0, d_h,
                 jnp.zeros_like(active_f))
 
-    march.defvjp(march_fwd, march_bwd)
+    def march_bwd_rev(res, cots):
+        """Reverse sweep by analytic step inversion (see docstring)."""
+        tables, time, mat_f, org, d0, h, active_f, cks, carryT = res
+        mat_ids = mat_f.astype(jnp.int32)
+        _, d_p, d_dvec, _, d_n, d_u, d_v = cots
+        flT, ilT, metaT = _split_carry(carryT)
+
+        def fin(tbl, org_, fl):
+            carry = _merge_carry(fl, ilT, metaT)
+            hit, p, dvec, ent, n, u, v = M.march_finish(static, tbl, org_,
+                                                        carry)
+            return (p, dvec, n, u, v)
+
+        def live_sweep(cots):
+            d_p, d_dvec, d_n, d_u, d_v = cots
+            _, vjp_fin = jax.vjp(fin, tables, org, flT)
+            d_tbl_s, d_org_fin, dfl = vjp_fin((d_p, d_dvec, d_n, d_u, d_v))
+            d_time = jnp.zeros((), jnp.float32)
+            d_h = jnp.zeros_like(h)
+            dfl, d_tbl_s, d_h = _laundered((dfl, d_tbl_s, d_h))
+
+            # exact per-lane step history from the final carry: a lane
+            # walked n = round(dist/h) steps; live at step i iff i < n;
+            # the crossing (if any) happened at exactly i == n-1
+            xT, vT, doneT, sx0T, sx1T, svT, sidesT, crossedT, distT = carryT
+            n_f = jnp.round(distT / h)
+            anyc = crossedT[0]
+            for cc in crossedT[1:]:
+                anyc = anyc | cc
+            anyc_b = anyc == 1
+            n_max = jnp.max(n_f).astype(jnp.int32)
+            accel_prim = T.make_accel(static, tables, mat_ids, time)
+
+            acc0 = (dfl, d_tbl_s, d_time, d_h)
+            for b in reversed(range(nB)):
+                cend = cks[b + 1] if b + 1 < nB else carryT
+                xe, ve = cend[0], cend[1]
+                wb = min(cB, steps - b * cB)        # chunk width (static)
+                n_live = jnp.clip(n_max - b * cB, 0, wb)
+
+                def run_chunk_bwd(acc, b=b, xe=xe, ve=ve, n_live=n_live):
+                    dfl, d_tbl, d_time, d_h = acc
+
+                    def rev(j, a2):
+                        dfl, d_tbl, d_time, d_h, xc, vc = a2
+                        i_f = (b * cB + (n_live - 1 - j)).astype(jnp.float32)
+                        live = i_f < n_f - 0.5
+                        newly = anyc_b & (jnp.abs(i_f - (n_f - 1.0)) < 0.5)
+
+                        # ---- reconstruction: primal only, OUTSIDE the vjp
+                        xp = V.where(live, V.madd(xc, -h, vc), xc)
+                        a = accel_prim(xp)
+                        va = V.dot(vc, a)
+                        disc = jnp.maximum(
+                            (h * va) ** 2 - h * h * V.norm2(a) + 1.0, 0.0)
+                        s = h * va + jnp.sqrt(disc)
+                        vp = V.where(live, V.madd(V.scale(vc, s), -h, a), vc)
+                        dist_i = jnp.where(live, i_f * h, distT)
+                        sx0_i = V.where(live, org, sx0T)
+                        sx1_i = V.where(live, org, sx1T)
+                        sv_i = V.where(live, d0, svT)
+                        fl_i = _split_carry(
+                            (xp, vp, doneT, sx0_i, sx1_i, sv_i, sidesT,
+                             crossedT, dist_i))[0]
+
+                        # ---- the replayed step: float math + exact masks,
+                        #      no side probes (live/newly are vjp constants)
+                        def stepf(fl, tbl, tm, hh):
+                            c = _merge_carry(fl, ilT, metaT)
+                            x, v, dn, sx0, sx1, sv, sd, cr, dist = c
+                            afn = T.make_accel(static, tbl, mat_ids, tm)
+                            v1 = V.normalize(V.madd(v, hh, afn(x)))
+                            x1 = V.madd(x, hh, v1)
+                            out = (V.where(live, x1, x),
+                                   V.where(live, v1, v), dn,
+                                   V.where(newly, x, sx0),
+                                   V.where(newly, x1, sx1),
+                                   V.where(newly, v1, sv), sd, cr,
+                                   jnp.where(live, dist + hh, dist))
+                            return _split_carry(out)[0]
+
+                        _, vjp = jax.vjp(stepf, fl_i, tables, time, h)
+                        dfl, dt_i, dtm_i, dh_i = vjp(dfl)
+                        return (dfl, _tree_add(d_tbl, dt_i), d_time + dtm_i,
+                                d_h + dh_i, xp, vp)
+
+                    out = jax.lax.fori_loop(
+                        0, n_live, rev, (dfl, d_tbl, d_time, d_h, xe, ve))
+                    return out[:4]
+
+                acc0 = jax.lax.cond(n_live > 0, run_chunk_bwd,
+                                    lambda acc: acc, acc0)
+            dfl, d_tbl_s, d_time, d_h = acc0
+            return dfl, d_tbl_s, d_time, d_h, d_org_fin
+
+        def dead_sweep(cots):
+            fl0, _, _ = _split_carry(cks[0])
+            zvec = lambda: Vec(*(jnp.zeros_like(org.x) for _ in range(4)))
+            return (jax.tree.map(jnp.zeros_like, fl0), _tree_zeros(tables),
+                    jnp.zeros((), jnp.float32), jnp.zeros_like(h), zvec())
+
+        dfl, d_tbl, d_time, d_h, d_org_fin = jax.lax.cond(
+            jnp.any(active_f > 0.5), live_sweep, dead_sweep,
+            (d_p, d_dvec, d_n, d_u, d_v))
+
+        # ---- map carry0 cotangents back to the march inputs (same as the
+        #      store-pass sweep) ----
+        c0 = M.march_init(static, tables, org, d0, active_f > 0.5)
+        _, _, meta0 = _split_carry(c0)
+        d_c0 = _merge_carry(dfl, jax.tree.map(jnp.zeros_like,
+                                              _split_carry(c0)[1]), meta0)
+        dx, dv, _, dsx0, dsx1, dsv, _, _, _ = d_c0
+        vadd = lambda a, b: Vec(a.x + b.x, a.y + b.y, a.z + b.z, a.w + b.w)
+        d_org = vadd(vadd(dx, dsx0), vadd(dsx1, d_org_fin))
+        d_d0 = vadd(dv, dsv)
+        return (d_tbl, d_time, jnp.zeros_like(mat_f), d_org, d_d0, d_h,
+                jnp.zeros_like(active_f))
+
+    march.defvjp(march_fwd, march_bwd_rev if reversible else march_bwd)
 
     def impl(st, tbl, tm, mids, org, d, h, wm):
         hit_f, p, dvec, ent_f, n, u, v = march(
@@ -619,6 +772,7 @@ def vjp_pallas_ckpt(static, tables, cam, H: int, W: int, g, tile=None,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=SEQ_GRID,    # grad accumulation needs a sequential grid
     )(cam_row, *views, g)
 
     return _grads_from_rows(outs[0], outs[1:], tables, cam)
@@ -684,6 +838,7 @@ def train_step_pallas(static, tables, cam, target, H: int, W: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=SEQ_GRID,    # loss + grad accumulation across programs
     )(cam_row, *views, tgt)
 
     loss = outs[0][0, 0]

@@ -93,9 +93,19 @@ static double expr_vm(const int32_t* ops, const double* vals, int lo, int hi,
     double st[64];
     int sp = 0;
     for (int i = lo; i < hi; i++) {
-        if (sp >= 64) return std::numeric_limits<double>::quiet_NaN();
+        // Per-opcode-class bounds (ADVICE r4): pushes need a free slot —
+        // checking before EVERY opcode rejected legal peak-depth-64
+        // programs that check_vm_depth accepts — and pops need enough
+        // operands, or a raw program via the C ABI starting with e.g. a
+        // binary op would read/write st[-1].
+        int32_t op = ops[i];
+        bool push = op == 0 || op == 1;
+        int need = push ? 0 : ((op >= 2 && op <= 5) || op == 8 ||
+                               (op >= 21 && op <= 23)) ? 2 : 1;
+        if (push ? sp >= 64 : sp < need)
+            return std::numeric_limits<double>::quiet_NaN();
         double val = vals[i];
-        switch (ops[i]) {
+        switch (op) {
         case 0: st[sp++] = val; break;                        // const
         case 1: st[sp++] = vars[(int)val]; break;             // var
         case 2: sp--; st[sp - 1] += st[sp]; break;            // add
@@ -134,6 +144,9 @@ static double expr_vm(const int32_t* ops, const double* vals, int lo, int hi,
         case 23: sp--; st[sp - 1] = std::atan2(st[sp - 1], st[sp]); break;
         }
     }
+    // a well-formed program leaves exactly one value (empty or unbalanced
+    // raw programs would otherwise return uninitialized stack memory)
+    if (sp != 1) return std::numeric_limits<double>::quiet_NaN();
     return st[0];
 }
 

@@ -67,6 +67,17 @@ def test_expr_vm_stack_bound():
     deep = run([0] * 65, [1.0] * 65)
     assert np.isnan(deep)
 
-    # exactly 64 pushes fills the stack without overflowing
-    full = run([0] * 64, [float(i) for i in range(64)])
-    assert full == 0.0  # st[0] is the first push
+    # a legal peak-depth-64 program (64 pushes, then 63 adds) evaluates
+    # normally — the bound applies per-push, so depth == VM_STACK is fine
+    # exactly as the Python-side check_vm_depth accepts it (ADVICE r4)
+    full = run([0] * 64 + [2] * 63,
+               [float(i) for i in range(64)] + [0.0] * 63)
+    assert full == float(sum(range(64)))
+
+    # pops are guarded too (ADVICE r4): a raw program starting with a
+    # binary op would read/write st[-1]; unary on empty is as bad; and a
+    # program leaving != 1 values would return uninitialized memory
+    assert np.isnan(run([2], [0.0]))           # binary underflow
+    assert np.isnan(run([9], [0.0]))           # unary underflow
+    assert np.isnan(run([0, 0], [1.0, 2.0]))   # two leftovers
+    assert np.isnan(run([], []))               # empty program

@@ -401,18 +401,192 @@ def probe_gated(interpret):
     return max(e1, e2 / max(abs(2 * float(dw_r)), 1.0))
 
 
+# --- probe 6: REVERSIBLE march bwd — the round-4 parked experiment, -------
+# --- reformulated.  Round 4's prototype died in Mosaic ("failed to ---------
+# --- legalize arith.cmpi") because the state reconstruction (with its ------
+# --- integer live-step recovery) sat INSIDE the function being vjp'd, so ---
+# --- the chunk linearization dragged the integer recovery into the ---------
+# --- residual-threaded transpose.  The fix probed here: reconstruction -----
+# --- stays OUTSIDE jax.vjp (it only picks the linearization point — no -----
+# --- cotangent flows through the inverse map), masks derive exactly from ---
+# --- the final carry (live = i < n where n = dist/h), and the reverse ------
+# --- fori runs with a DYNAMIC trip count (step-granular early exit). -------
+
+R_STEPS = 24
+R_CB = 8
+R_NB = R_STEPS // R_CB
+R_H = 0.11
+
+
+def _rev_astep(x, w):
+    return 0.3 * jnp.sin(w * x)
+
+
+def make_rev_march():
+    """Done-masked leapfrog march whose custom-VJP backward reconstructs
+    pre-step states analytically (x = x1 - h*v1; v = v1 - h*a(x)) instead
+    of storing them — no scratch stack, no store pass."""
+    h = R_H
+
+    def body(c, w):
+        x, v, done, dist = c
+        v1 = v + h * _rev_astep(x, w)
+        x1 = x + h * v1
+        live = done == 0
+        newly = live & (x1 > 1.0)          # 'boundary crossing'
+        x = jnp.where(live, x1, x)
+        v = jnp.where(live, v1, v)
+        dist = jnp.where(live, dist + h, dist)
+        return (x, v, done | newly.astype(jnp.int32), dist)
+
+    @jax.custom_vjp
+    def rm(w, x0, v0):
+        out, _ = rm_fwd(w, x0, v0)
+        return out
+
+    def rm_fwd(w, x0, v0):
+        z = x0 * 0
+        c = (x0, v0, z.astype(jnp.int32), z)
+        cks = []
+        for b in range(R_NB):
+            cks.append(c)
+            c = jax.lax.fori_loop(0, R_CB, lambda i, c: body(c, w), c)
+        xT, vT, doneT, distT = c
+        return xT * 2.0 + vT, (w, x0, v0, tuple(cks), c)
+
+    def rm_bwd(res, g):
+        w, x0, v0, cks, cT = res
+        xT, vT, doneT, distT = cT
+        n_f = jnp.round(distT / h)              # exact per-lane step count
+        n_max = jnp.max(n_f).astype(jnp.int32)  # scalar: tile's last live step
+        dx, dv = 2.0 * g, g
+        dw = jnp.float32(0.0)
+        for b in reversed(range(R_NB)):
+            cend = cks[b + 1][:2] if b + 1 < R_NB else (xT, vT)
+            n_live = jnp.clip(n_max - b * R_CB, 0, R_CB)
+
+            def run_chunk(acc, b=b, cend=cend, n_live=n_live):
+                dx, dv, dw = acc
+
+                def rev(j, a2):
+                    dx, dv, dw, xc, vc = a2
+                    i = b * R_CB + (n_live - 1 - j)      # dynamic index
+                    i_f = i.astype(jnp.float32)
+                    live = i_f < n_f - 0.5
+                    # ---- reconstruction: primal only, outside the vjp ----
+                    xp = jnp.where(live, xc - h * vc, xc)
+                    vp = jnp.where(live, vc - h * _rev_astep(xp, w), vc)
+
+                    def stepf(x, v, w):
+                        v1 = v + h * _rev_astep(x, w)
+                        x1 = x + h * v1
+                        return (jnp.where(live, x1, x),
+                                jnp.where(live, v1, v))
+
+                    _, vjp = jax.vjp(stepf, xp, vp, w)
+                    dxi, dvi, dwi = vjp((dx, dv))
+                    return dxi, dvi, dw + dwi, xp, vp
+
+                dx, dv, dw, _, _ = jax.lax.fori_loop(
+                    0, n_live, rev, (dx, dv, dw, cend[0], cend[1]))
+                return dx, dv, dw
+
+            dx, dv, dw = jax.lax.cond(n_live > 0, run_chunk,
+                                      lambda a: a, (dx, dv, dw))
+        return dw, dx, dv
+
+    rm.defvjp(rm_fwd, rm_bwd)
+    return rm
+
+
+def _rev_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref):
+    x = x_ref[:]
+    w = w_ref[0, 0]
+    g = g_ref[:]
+    rm = make_rev_march()
+
+    def outer(x, w):
+        y = rm(w, x * 0.3, x * 0.2 + 0.1)
+        return jnp.cos(y) + y * 0.25
+
+    def bodyj(j, acc):
+        dx, dw = acc
+        _, vjp = jax.vjp(outer, x, w)
+        dxj, dwj = vjp(g)
+        return dx + dxj, dw + dwj
+
+    dx, dw = jax.lax.fori_loop(0, 2, bodyj,
+                               (jnp.zeros((TH, TW), jnp.float32),
+                                jnp.float32(0.0)))
+    dx_ref[:] = dx
+    dw_ref[0, 0] = dw
+
+
+def probe_reversible(interpret):
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(TH, TW)) * 0.8,
+                    jnp.float32)
+    w = jnp.float32(1.1)
+    g = jnp.asarray(np.random.default_rng(8).normal(size=(TH, TW)),
+                    jnp.float32)
+
+    dx, dw = pl.pallas_call(
+        _rev_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((TH, TW), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.full((1, 1), w), g)
+
+    # lax reference: differentiate the same masked march directly
+    def outer_ref(x, w):
+        h = R_H
+
+        def body(c, w):
+            xx, v, done, dist = c
+            v1 = v + h * _rev_astep(xx, w)
+            x1 = xx + h * v1
+            live = done == 0
+            newly = live & (x1 > 1.0)
+            xx = jnp.where(live, x1, xx)
+            v = jnp.where(live, v1, v)
+            dist = jnp.where(live, dist + h, dist)
+            return (xx, v, done | newly.astype(jnp.int32), dist)
+
+        z = x * 0
+        c = (x * 0.3, x * 0.2 + 0.1, z.astype(jnp.int32), z)
+        for _ in range(R_STEPS):
+            c = body(c, w)
+        y = c[0] * 2.0 + c[1]
+        return jnp.cos(y) + y * 0.25
+
+    _, vjp = jax.vjp(outer_ref, x, w)
+    dx_r, dw_r = vjp(g)
+    e1 = float(jnp.abs(dx - 2 * dx_r).max())
+    e2 = abs(float(dw[0, 0]) - 2 * float(dw_r))
+    return max(e1, e2 / max(abs(2 * float(dw_r)), 1.0))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--only", help="run a single probe by name")
     args = ap.parse_args()
     if args.interpret:
         jax.config.update("jax_platforms", "cpu")
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
-    for name, fn, tol in [("ckpt_scratch_fori_vjp", probe_ckpt, 1e-5),
-                          ("cond_in_kernel_vjp", probe_cond, 1e-6),
-                          ("nested_custom_vjp_scoped", probe_nested, 1e-4),
-                          ("gated_march_custom_vjp", probe_gated, 1e-4)]:
+    probes = [("ckpt_scratch_fori_vjp", probe_ckpt, 1e-5),
+              ("cond_in_kernel_vjp", probe_cond, 1e-6),
+              ("nested_custom_vjp_scoped", probe_nested, 1e-4),
+              ("gated_march_custom_vjp", probe_gated, 1e-4),
+              ("reversible_march_custom_vjp", probe_reversible, 1e-4)]
+    for name, fn, tol in probes:
+        if args.only and args.only not in name:
+            continue
         try:
             err = fn(args.interpret)
             ok = err < tol

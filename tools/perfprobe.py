@@ -181,8 +181,11 @@ def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     gh, gw = (int(v) for v in args.size.split("x"))
     if args.grad:
+        # >= 30 steps per dispatch: the ~28 ms tunnel-relay overhead must
+        # stay < 1 ms/step or the number is mostly relay (docs/PERF.md §4 —
+        # the deprecated n=6 flavor overstated ms/step by ~4.6 ms)
         for name in args.scenes.split(","):
-            time_grad(name, max(3, args.frames // 5), gh, gw,
+            time_grad(name, max(30, args.frames), gh, gw,
                       args.grad_backend)
         return
     tiles = [tuple(int(v) for v in t.split("x"))
