@@ -25,7 +25,12 @@ H, W = 720, 1280
 SCENE = "config1_sphere_room"
 TARGET_MRAYS = 50.0
 TILE = (32, 256)   # best of the tile sweep on v5e (tools/perfprobe.py)
-ITERS = 50
+# 30 frames per dispatch: the committed measurement convention (docs/PERF.md
+# §4) — quoted throughput then UNDER-states the device by the fixed ~28 ms
+# tunnel-relay overhead amortised over 30 frames.  Rounds 1-4 used 50 frames
+# (same kernel, more amortisation): r4's 1418 and a 30-frame ~930 are the
+# SAME device performance, t = 0.097 ms/frame fitted (tools/roofline.py).
+ITERS = 30
 
 
 def log(*a):

@@ -14,11 +14,14 @@ module replaces both with a single Pallas kernel per tile grid that
     checkpoint k and re-runs its ``cA`` trips under ``jax.vjp`` — the
     transpose is straight-line code Mosaic lowers, traced ONCE;
   * handles the march loop (SURVEY.md §3.4 non-Euclidean propagation) with a
-    nested custom-VJP of the same shape: the march fwd checkpoints every
-    ``cB`` steps as SSA residuals, and its bwd replays one chunk at a time
-    through a VMEM step-state stack with a rolled per-step reverse sweep —
-    so a 320-step march differentiates with O(march_steps/cB + cB) VMEM and
-    O(1) code copies;
+    nested custom-VJP: the march fwd checkpoints every ``cB`` steps as SSA
+    residuals, and its bwd walks the steps in reverse by ANALYTIC INVERSION
+    (x = x1 - h*v1; v from the |v|=1 constraint) re-seeded from each chunk
+    checkpoint — no store pass, no per-step VMEM stack, step masks recovered
+    exactly from the final carry so the replayed step needs no geometry
+    side-probes, and a dynamic-trip-count reverse fori gives step-granular
+    early exit (docs/PERF.md §5; the round-4 store-pass sweep remains as
+    ``MARCH_REVERSIBLE = False``);
   * skips drained work at TILE granularity with ``lax.cond``: bounce chunks
     whose checkpointed stacks are empty pass cotangents through unchanged,
     and tiles with no marching ray skip the march machinery entirely — the
@@ -50,12 +53,14 @@ from .pallas_kernel import (SEQ_GRID, _cdiv, _grads_from_rows, _merge_carry,
                             _unpack_tables)
 from .vec import Vec
 
-# chunk-size defaults from the v5e sweep (tools/ckpt_sweep.py, 720p).
+# chunk-size defaults from the v5e sweeps (tools/ckpt_sweep.py, 720p).
 # VMEM cost ~ K * carry_leaves * tile
-#           + (march_steps/cB + cB) * march_leaves * tile:
-# bigger tiles win until the checkpoint stacks overflow VMEM — measured
-# crash points: (8,256) with expr materials, cB<=12 at (8,256), cA>=2
-# marchy at (8,256), (16,256) anywhere.
+#           + (march_steps/cB) * march_leaves * tile
+# (the reversible sweep removed the old +cB step-stack term): bigger tiles
+# win until the checkpoint stacks overflow VMEM — measured crash points:
+# (8,256) with expr materials, cA>=2 marchy at (8,256), and (16,256)
+# anywhere (re-confirmed round 5 with the reversible sweep: the Level-A
+# carry stacks, not the march stack, are what overflows).
 DEFAULT_TRIP_CHUNK_STRAIGHT = 8   # config2 62 trips: cA=8 -> 58.5 Mrays/s
 DEFAULT_MARCH_CHUNK = 16
 MAX_LEVEL_A_CHUNKS = 16           # cap K so ckpt stacks stay in VMEM
@@ -87,12 +92,23 @@ def default_plan(static, tile, trip_chunk, march_chunk):
             trip_chunk = max(1, -(-trips // MAX_LEVEL_A_CHUNKS))
         elif has_tex:
             # texture-sampler residuals are fat: config3 at 720p needs one
-            # trip per chunk (cA=2 already overflows VMEM) -> 57.3 Mrays/s
+            # trip per chunk — round-5 sweep (720p, render+ckpt-bwd, N=30):
+            # (8,128) cA=1 65.0 Mrays/s; cA=2 and (8,256) cA=1 both
+            # overflow VMEM
             trip_chunk = 1
         else:
+            # round-5 sweep, config2 62 trips (720p, render+ckpt-bwd,
+            # N=30): (8,128) cA=4 59.8 / cA=8 67.4 / cA=16 59.5 Mrays/s;
+            # (8,256) cA>=8 overflows VMEM
             trip_chunk = DEFAULT_TRIP_CHUNK_STRAIGHT
     if march_chunk is None:
-        march_chunk = 20 if has_expr else DEFAULT_MARCH_CHUNK
+        # round-5 reversible-sweep data (config5 720p, (8,256), cA=1,
+        # render+ckpt-bwd, N=30): cB=16 45.4, cB=32 45.8, cB=64 45.8
+        # Mrays/s; grads at cB=16 and cB=64 both match lax to 3.3e-6
+        # (tools/ckpt_vjp_probe.py --cases march_full).  32 halves the
+        # checkpoint VMEM vs 16 at equal-best throughput while keeping
+        # reconstruction chains half as long as 64.
+        march_chunk = 20 if has_expr else 32
     return tile, trip_chunk, march_chunk
 
 
@@ -391,9 +407,12 @@ def make_march_ckpt(static, cB, reversible: bool | None = None):
 
             # exact per-lane step history from the final carry: a lane
             # walked n = round(dist/h) steps; live at step i iff i < n;
-            # the crossing (if any) happened at exactly i == n-1
+            # the crossing (if any) happened at exactly i == n-1.  An h=0
+            # lane never moves (dist stays 0) — the max() keeps n_f at 0
+            # instead of NaN, making its sweep an exact identity, which is
+            # also what the step map is for such a lane.
             xT, vT, doneT, sx0T, sx1T, svT, sidesT, crossedT, distT = carryT
-            n_f = jnp.round(distT / h)
+            n_f = jnp.round(distT / jnp.maximum(h, 1e-12))
             anyc = crossedT[0]
             for cc in crossedT[1:]:
                 anyc = anyc | cc

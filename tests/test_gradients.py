@@ -337,6 +337,75 @@ def test_pallas_ckpt_backward_matches_lax_vjp():
     assert np.isclose(float(gtm_ref), float(gtm_ck), atol=1e-4)
 
 
+def test_march_step_analytic_inverse():
+    """The reversible sweep's reconstruction (pallas_vjp.march_bwd_rev):
+    one march step forward, then x = x1 - h*v1 and v from the |v|=1
+    quadratic must recover the pre-step state to f32 precision — the
+    invariant the no-store-pass backward rests on (docs/PERF.md §5)."""
+    from euclider_tpu.ops import march as M
+    from euclider_tpu.ops import vec as V
+    from euclider_tpu.ops.vec import Vec
+
+    rng = np.random.default_rng(0)
+    n = 64
+    mk = lambda s: jnp.asarray(rng.normal(size=(n,)) * s, jnp.float32)
+    x = Vec(mk(1.0), mk(1.0), mk(1.0) - 3.0, mk(0.0))
+    v = V.normalize(Vec(mk(1.0), mk(1.0), -jnp.abs(mk(1.0)) - 0.2, mk(0.0)))
+    h = jnp.float32(0.12)
+    center = Vec(*(jnp.float32(c) for c in (0.0, 0.0, -3.0, 0.0)))
+    accel = lambda p: M.warp_accel(center, jnp.float32(0.8), p)
+
+    # forward step (the march body's float core)
+    v1 = V.normalize(V.madd(v, h, accel(x)))
+    x1 = V.madd(x, h, v1)
+
+    # analytic inverse
+    xp = V.madd(x1, -h, v1)
+    a = accel(xp)
+    va = V.dot(v1, a)
+    disc = jnp.maximum((h * va) ** 2 - h * h * V.norm2(a) + 1.0, 0.0)
+    s = h * va + jnp.sqrt(disc)
+    vp = V.madd(V.scale(v1, s), -h, a)
+
+    for got, ref in [(xp, x), (vp, v)]:
+        for c in "xyzw":
+            err = np.abs(np.asarray(getattr(got, c))
+                         - np.asarray(getattr(ref, c))).max()
+            assert err < 5e-6, (c, err)
+
+
+def test_pallas_ckpt_backward_march_storepass():
+    """The store-pass sweep (MARCH_REVERSIBLE=False) is the
+    bit-conservative fallback and must stay green now that the reversible
+    sweep is the default (it is what every other march test exercises)."""
+    from dataclasses import replace
+
+    from euclider_tpu.ops import pallas_vjp as PV
+
+    sc = et.get_scene("config5_warp_portal")
+    sc = replace(sc, settings=replace(sc.settings, max_depth=2,
+                                      march_steps=14))
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    t32 = _tab_to_f32(tables)
+    g = np.random.default_rng(9).normal(size=(H, W, 3)).astype(np.float32)
+
+    _, vjp = jax.vjp(
+        lambda t, c: et.render_image(static, t, c, H, W, True), t32, cam)
+    gt_ref, gc_ref = vjp(jnp.asarray(g))
+
+    PV.MARCH_REVERSIBLE = False
+    PV.vjp_pallas_ckpt.clear_cache()
+    try:
+        gt, gc, _ = PV.vjp_pallas_ckpt(static, t32, cam, H, W, g,
+                                       (8, 128), 0.0, True,
+                                       trip_chunk=1, march_chunk=7)
+    finally:
+        PV.MARCH_REVERSIBLE = True
+        PV.vjp_pallas_ckpt.clear_cache()
+    _assert_grads_close((gt_ref, gc_ref), (gt, gc))
+
+
 def test_pallas_ckpt_backward_march():
     """Marchy scenes through the checkpointed VJP: the march custom-VJP
     (chunked forward with SSA residuals, VMEM step-stack reverse sweep,

@@ -180,6 +180,49 @@ def test_sharded_fused_train_matches_lax(mesh):
         assert np.abs(a - b).max() <= tol
 
 
+def test_sharded_fused_train_marchy_2dev(mesh):
+    """The fused training kernel × mesh composition at REAL scene
+    complexity (VERDICT r4 item 3: depth reductions were the only
+    multi-device fused coverage): config5's march+portal+alpha paths at
+    depth 2 / 23 march steps, sharded over a 2-device sub-mesh.  XLA:CPU
+    interpret-mode compile cost scales with device count, so 2 devices
+    buys the marchy kernel in CI time where the 8-way compile took an
+    hour; shard_map semantics (slab offsets, psum of loss and grads) are
+    device-count-independent and the 8-way composition is covered at
+    depth 1 by test_sharded_fused_train_matches_lax."""
+    from dataclasses import replace
+
+    from euclider_tpu.parallel.mesh import make_mesh
+    from euclider_tpu.train.inverse import make_fused_value_and_grad
+
+    mesh2 = make_mesh(2)
+    sc = et.get_scene("config5_warp_portal")
+    sc = replace(sc, settings=replace(sc.settings, max_depth=2,
+                                      march_steps=23))
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    tables = _f32(tables)
+    H, W = 16, 32
+
+    target = np.random.default_rng(3).uniform(size=(H, W, 3)).astype(
+        np.float32)
+    target_sharded = shard_target(target, mesh2)
+    params = InverseParams(tables, cam)
+
+    loss_lax = make_loss_fn(static, H, W, mesh2)
+    ll, gl = jax.value_and_grad(
+        lambda p: loss_lax(p, target_sharded))(params)
+
+    vg = make_fused_value_and_grad(static, H, W, mesh2, (8, 128), True)
+    lf, gf = vg(params, target_sharded)
+
+    assert np.isclose(float(ll), float(lf), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gl), jax.tree.leaves(gf)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        tol = 1e-3 * max(np.abs(a).max(), 1.0) if a.size else 0.0
+        assert np.abs(a - b).max() <= tol
+
+
 def test_sharded_pallas_diff_render(mesh):
     """render_image_sharded(differentiable=True, backend='pallas') must no
     longer raise (VERDICT r3 item 5): it routes to render_image_pallas_diff

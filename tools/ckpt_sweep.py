@@ -19,7 +19,7 @@ from euclider_tpu.ops.pallas_kernel import render_image_pallas
 from euclider_tpu.ops.pallas_vjp import vjp_pallas_ckpt
 
 H, W = 720, 1280
-N = 10
+N = 30   # >=30 steps per dispatch: docs/PERF.md §4 methodology
 
 
 def time_cfg(name, tile, cA, cB):

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--cases", default="straight,deep,march,march4d")
     ap.add_argument("--size", default="16x24")
+    ap.add_argument("--march-chunk", type=int, default=None,
+                    help="override march_chunk on the march cases (for "
+                         "validating sweep candidates before pinning "
+                         "default_plan)")
     args = ap.parse_args()
 
     import jax
@@ -65,12 +69,20 @@ def main():
             sc = replace(sc, settings=replace(sc.settings, max_depth=2,
                                               march_steps=15))
             return sc, dict(trip_chunk=1, march_chunk=4)
+        if name == "march_full":
+            # the UNSHRUNKEN flagship scene (depth 4, 320 march steps):
+            # full-scale reconstruction-drift check for the reversible
+            # sweep at the production march_chunk
+            sc = et.get_scene("config5_warp_portal")
+            return sc, dict(trip_chunk=1, march_chunk=16)
         raise KeyError(name)
 
     rng = np.random.default_rng(0)
     failures = 0
     for case in args.cases.split(","):
         sc, kw = scene_case(case)
+        if args.march_chunk is not None and "march_chunk" in kw:
+            kw["march_chunk"] = args.march_chunk
         static, tables = et.compile_scene(sc)
         cam = et.compile_camera(sc.camera)
         t32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tables)

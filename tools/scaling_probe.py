@@ -36,7 +36,11 @@ def main() -> int:
     ap.add_argument("--size", default="720x1280", help="WxH-ish: H x W")
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--tile", default="16x128")
-    ap.add_argument("--backend", default="pallas", choices=["pallas", "lax"])
+    ap.add_argument("--backend", default="pallas",
+                    choices=["pallas", "lax", "pallas-fused"],
+                    help="pallas-fused (--grad only): the shipping "
+                         "single-kernel training step per chip "
+                         "(train.inverse.make_fused_value_and_grad)")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--chips", type=int, default=None,
                     help="restrict to first N local devices (single-host "
@@ -99,16 +103,22 @@ def main() -> int:
         # multi-chip TRAINING throughput: per-shard Pallas fwd+bwd via the
         # custom_vjp (backward='auto'), grads psum-reduced over the mesh
         # (SURVEY §2.2 gradient-reduction row; VERDICT r3 item 4)
-        from euclider_tpu.train.inverse import InverseParams, make_loss_fn
+        from euclider_tpu.train.inverse import (InverseParams,
+                                                make_fused_value_and_grad,
+                                                make_loss_fn)
 
         t32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tables)
-        loss_fn = make_loss_fn(static, H, w, mesh, args.backend, tile,
-                               args.interpret)
         target = jnp.zeros((H, w, 3), jnp.float32)
         if multi:
             target = D.replicate_to_global(target, mesh)
-        vg = jax.value_and_grad(
-            lambda p: loss_fn(p, target))
+        if args.backend == "pallas-fused":
+            fvg = make_fused_value_and_grad(static, H, w, mesh, None,
+                                            args.interpret)
+            vg = lambda p: fvg(p, target)
+        else:
+            loss_fn = make_loss_fn(static, H, w, mesh, args.backend, tile,
+                                   args.interpret)
+            vg = jax.value_and_grad(lambda p: loss_fn(p, target))
 
         @jax.jit
         def frame_loop():
@@ -119,6 +129,9 @@ def main() -> int:
                         + jnp.sum(g.cam.position))
             return jax.lax.fori_loop(0, args.frames, body, jnp.float32(0.0))
     else:
+        if args.backend == "pallas-fused":
+            raise SystemExit("--backend pallas-fused requires --grad")
+
         def render(c):
             return render_image_sharded(static, tables, c, H, w, mesh,
                                         False, args.backend, tile,
