@@ -111,12 +111,19 @@ def main() -> int:
 
     v = float(frame_loop())  # compile + warm
     assert np.isfinite(v), v
-    t0 = time.perf_counter()
-    v = float(frame_loop())
-    dt = (time.perf_counter() - t0) / ITERS
+    # median of 5 reps — the BASELINE.md methodology ("median of reps after
+    # warmup"): the shared tunneled chip shows +/-10-25% single-rep variance,
+    # and one rep is only ~60 ms, so extra reps are free
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        v = float(frame_loop())
+        times.append((time.perf_counter() - t0) / ITERS)
+    dt = sorted(times)[len(times) // 2]
     mrays = H * W / dt / 1e6
     log(f"backend={backend} {dt*1000:.2f} ms/frame "
-        f"({ITERS}-frame in-program loop)")
+        f"({ITERS}-frame in-program loop, median of {len(times)} reps; "
+        f"spread {min(times)*1e3:.2f}-{max(times)*1e3:.2f} ms)")
 
     print(json.dumps({
         "metric": f"Mrays/s/chip ({SCENE} {W}x{H}, {backend})",

@@ -74,6 +74,23 @@ MAX_LEVEL_A_CHUNKS = 16           # cap K so ckpt stacks stay in VMEM
 # jitted wrappers will replay the previously-traced strategy.
 MARCH_REVERSIBLE = True
 
+# Reversible-sweep shell strategy (trace-time constant, same caching caveat
+# as MARCH_REVERSIBLE).  True: ONE jax.vjp over the acceleration FIELD per
+# reverse step — its primal output `a` feeds the analytic reconstruction and
+# its transpose the table/position cotangents, while the cheap
+# normalize/madd shell around it is transposed BY HAND (exact, using the
+# reconstruction identities u = s*v1, |u| = s).  In source terms this
+# removes one full accel-field evaluation per step versus jax.vjp over the
+# whole step (which re-evaluates the field at the point the reconstruction
+# just did) — but MEASURED it is NOT faster: XLA already CSEs the duplicate
+# field eval (same inputs, same point), and the hand shell runs ~5% SLOWER
+# on config5/config7 (A/B on v5e, 720p fused train step, 2026-08-21:
+# config5 17.56 vs 16.72 ms, config6 13.65 vs 13.72, config7 14.36 vs
+# 13.73).  Kept as a parked, parity-tested experiment (grads match lax to
+# 1.9e-6 on-chip, tools/ckpt_vjp_probe.py under the flag); default stays
+# the whole-step jax.vjp the sweep data was measured on.
+MARCH_FUSED_SHELL = False
+
 
 def default_plan(static, tile, trip_chunk, march_chunk):
     """(tile, trip_chunk, march_chunk) defaults for vjp_pallas_ckpt."""
@@ -420,6 +437,9 @@ def make_march_ckpt(static, cB, reversible: bool | None = None):
             n_max = jnp.max(n_f).astype(jnp.int32)
             accel_prim = T.make_accel(static, tables, mat_ids, time)
 
+            def accel_f(tbl, tm, x):
+                return T.make_accel(static, tbl, mat_ids, tm)(x)
+
             acc0 = (dfl, d_tbl_s, d_time, d_h)
             for b in reversed(range(nB)):
                 cend = cks[b + 1] if b + 1 < nB else carryT
@@ -438,12 +458,59 @@ def make_march_ckpt(static, cB, reversible: bool | None = None):
 
                         # ---- reconstruction: primal only, OUTSIDE the vjp
                         xp = V.where(live, V.madd(xc, -h, vc), xc)
-                        a = accel_prim(xp)
+                        if MARCH_FUSED_SHELL:
+                            # one field evaluation total: jax.vjp's primal
+                            # feeds the reconstruction AND picks the
+                            # linearization (the masks stay outside — the
+                            # Mosaic-safety rule is unchanged)
+                            a, vjp_a = jax.vjp(accel_f, tables, time, xp)
+                        else:
+                            a = accel_prim(xp)
                         va = V.dot(vc, a)
                         disc = jnp.maximum(
                             (h * va) ** 2 - h * h * V.norm2(a) + 1.0, 0.0)
                         s = h * va + jnp.sqrt(disc)
                         vp = V.where(live, V.madd(V.scale(vc, s), -h, a), vc)
+
+                        if MARCH_FUSED_SHELL:
+                            # ---- hand-transposed shell.  Forward (live):
+                            #   u  = vp + hh*a(xp);  v1 = u/|u|;
+                            #   x1 = xp + hh*v1;     dist1 = dist + hh
+                            # with the reconstruction identities u = s*vc,
+                            # |u| = s, v1 = vc (|vc| = 1).  newly lanes
+                            # (⊂ live) additionally copy (xp, x1, v1) into
+                            # the (sx0, sx1, sv) segment slots.
+                            dcar = _merge_carry(dfl, ilT, metaT)
+                            gx, gv, _, gsx0, gsx1, gsv, _, _, gdist = dcar
+                            zero = jnp.zeros_like(h)
+                            zv = Vec(zero, zero, zero, zero)
+                            g_x1 = V.add(V.where(live, gx, zv),
+                                         V.where(newly, gsx1, zv))
+                            g_v1 = V.add(V.where(live, gv, zv),
+                                         V.where(newly, gsv, zv))
+                            g_v1 = V.madd(g_v1, h, g_x1)    # x1 = xp + h*v1
+                            # normalize transpose at v1 = vc, |u| = s
+                            s_safe = jnp.maximum(s, 1e-12)
+                            g_u = V.scale(
+                                V.madd(g_v1, -V.dot(vc, g_v1), vc),
+                                1.0 / s_safe)
+                            g_a = V.scale(g_u, h)           # u = vp + h*a
+                            dt_i, dtm_i, g_xa = vjp_a(g_a)
+                            g_xp = V.add(V.add(V.where(live, zv, gx),
+                                               V.where(newly, gsx0, zv)),
+                                         V.add(g_x1, g_xa))
+                            g_vp = V.add(V.where(live, zv, gv), g_u)
+                            dh_i = (V.dot(g_x1, vc) + V.dot(g_u, a)
+                                    + jnp.where(live, gdist, zero))
+                            dfl = _split_carry(
+                                (g_xp, g_vp, doneT,
+                                 V.where(newly, zv, gsx0),
+                                 V.where(newly, zv, gsx1),
+                                 V.where(newly, zv, gsv),
+                                 sidesT, crossedT, gdist))[0]
+                            return (dfl, _tree_add(d_tbl, dt_i),
+                                    d_time + dtm_i, d_h + dh_i, xp, vp)
+
                         dist_i = jnp.where(live, i_f * h, distT)
                         sx0_i = V.where(live, org, sx0T)
                         sx1_i = V.where(live, org, sx1T)

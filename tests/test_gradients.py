@@ -406,6 +406,40 @@ def test_pallas_ckpt_backward_march_storepass():
     _assert_grads_close((gt_ref, gc_ref), (gt, gc))
 
 
+def test_pallas_ckpt_backward_march_fused_shell():
+    """The parked fused-shell reverse step (MARCH_FUSED_SHELL=True: one
+    jax.vjp over the accel FIELD + hand-transposed normalize/madd shell)
+    must stay grad-correct even though it is not the default (measured ~5%
+    slower than the whole-step jax.vjp on v5e — see the flag's comment in
+    ops/pallas_vjp.py)."""
+    from dataclasses import replace
+
+    from euclider_tpu.ops import pallas_vjp as PV
+
+    sc = et.get_scene("config5_warp_portal")
+    sc = replace(sc, settings=replace(sc.settings, max_depth=2,
+                                      march_steps=14))
+    static, tables = et.compile_scene(sc)
+    cam = et.compile_camera(sc.camera)
+    t32 = _tab_to_f32(tables)
+    g = np.random.default_rng(9).normal(size=(H, W, 3)).astype(np.float32)
+
+    _, vjp = jax.vjp(
+        lambda t, c: et.render_image(static, t, c, H, W, True), t32, cam)
+    gt_ref, gc_ref = vjp(jnp.asarray(g))
+
+    PV.MARCH_FUSED_SHELL = True
+    PV.vjp_pallas_ckpt.clear_cache()
+    try:
+        gt, gc, _ = PV.vjp_pallas_ckpt(static, t32, cam, H, W, g,
+                                       (8, 128), 0.0, True,
+                                       trip_chunk=1, march_chunk=7)
+    finally:
+        PV.MARCH_FUSED_SHELL = False
+        PV.vjp_pallas_ckpt.clear_cache()
+    _assert_grads_close((gt_ref, gc_ref), (gt, gc))
+
+
 def test_pallas_ckpt_backward_march():
     """Marchy scenes through the checkpointed VJP: the march custom-VJP
     (chunked forward with SSA residuals, VMEM step-stack reverse sweep,
